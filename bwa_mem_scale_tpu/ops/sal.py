@@ -1,0 +1,99 @@
+"""Batched suffix-array lookup (SAL) on device.
+
+TPU-native form of the reference's compressed SA resolution
+(get_sa_entry_compressed / get_sa_entries_prefetch,
+src/FMI_search.cpp:2107-2379): every SMEM's SA interval is sampled into
+at most max_occ coordinates; non-sampled rows are recovered by a
+batched LF-walk (at most 2^sa_compx - 1 steps, each one occ gather for
+the whole coordinate batch). The reference hides the walk's memory
+latency with 20-wide software prefetch pipelines; here the batch *is*
+the pipeline.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .occ import DeviceFMIndex, occ_all4, bwt_base_at
+from .smem import SmemBuf
+
+
+def sa_lookup(fmi: DeviceFMIndex, pos: jax.Array, valid: jax.Array
+              ) -> jax.Array:
+    """Resolve SA[pos] for a batch of BWT row indices.
+
+    pos [...], valid [...] bool (invalid lanes return 0).
+    """
+    compx_mask = (1 << fmi.sa_compx) - 1
+    pos_dtype = fmi.pos_dtype
+
+    def cond(st):
+        sp, offset, active, done_val = st
+        return jnp.any(active)
+
+    def body(st):
+        sp, offset, active, done_val = st
+        sampled = (sp & compx_mask) == 0
+        take_sample = active & sampled
+        samp = fmi.sa_samples[(sp >> fmi.sa_compx).astype(jnp.int64)]
+        done_val = jnp.where(take_sample, samp + offset, done_val)
+        active = active & ~sampled
+        # LF step: bwt base at sp, then count[b] + occ(sp, b).
+        b = bwt_base_at(fmi, sp)
+        hit_sentinel = active & (b == 4)
+        done_val = jnp.where(hit_sentinel, offset, done_val)
+        active = active & ~hit_sentinel
+        occs = occ_all4(fmi, sp)
+        bc = jnp.clip(b, 0, 3)[..., None]
+        occ_b = jnp.take_along_axis(occs, bc, axis=-1)[..., 0]
+        sp_new = fmi.count[jnp.clip(b, 0, 3)] + occ_b
+        sp = jnp.where(active, sp_new, sp)
+        offset = offset + active.astype(pos_dtype)
+        return sp, offset, active, done_val
+
+    init = (pos.astype(pos_dtype),
+            jnp.zeros_like(pos, dtype=pos_dtype),
+            valid,
+            jnp.zeros_like(pos, dtype=pos_dtype))
+    _, _, _, out = jax.lax.while_loop(cond, body, init)
+    return out
+
+
+def expand_and_lookup(fmi: DeviceFMIndex, smems: SmemBuf, max_occ: int,
+                      max_coords: int):
+    """Sample each SMEM interval and resolve coordinates.
+
+    Returns (rbeg [B, C], seed_smem [B, C] (index into smems arrays),
+    coord_valid [B, C], total [B]) where C = max_coords. Within a read,
+    coordinates appear in SMEM order then interval order — the same
+    order the reference feeds seeds into chaining
+    (mem_chain_seeds, src/bwamem.cpp:862-895).
+    """
+    B, M = smems.m.shape
+    valid = jnp.arange(M)[None, :] < smems.cnt[:, None]
+    s = smems.s
+    big = s > max_occ
+    step = jnp.where(big, s // max_occ, 1).astype(s.dtype)
+    # number of sampled coordinates per SMEM
+    n_i = jnp.where(big,
+                    jnp.minimum((s + step - 1) // step, max_occ),
+                    jnp.minimum(s, max_occ))
+    n_i = jnp.where(valid, n_i, 0).astype(jnp.int32)
+    csum = jnp.cumsum(n_i, axis=1)
+    total = jnp.minimum(csum[:, -1], max_coords)
+    starts = csum - n_i                          # [B, M]
+
+    slot = jnp.arange(max_coords)[None, :]       # [1, C]
+    coord_valid = slot < total[:, None]
+    # Which SMEM does each slot belong to? searchsorted per row.
+    seed_idx = jax.vmap(
+        lambda cs, sl: jnp.searchsorted(cs, sl, side="right")
+    )(csum, jnp.broadcast_to(slot, (B, max_coords))).astype(jnp.int32)
+    seed_idx = jnp.clip(seed_idx, 0, M - 1)
+    bidx = jnp.arange(B)[:, None]
+    within = slot - starts[bidx, seed_idx]
+    pos = (smems.k[bidx, seed_idx]
+           + within.astype(s.dtype) * step[bidx, seed_idx])
+    rbeg = sa_lookup(fmi, pos, coord_valid)
+    return rbeg, seed_idx, coord_valid, total
