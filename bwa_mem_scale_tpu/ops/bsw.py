@@ -55,8 +55,9 @@ def banded_swa_batch(qs, q_lens, ts, t_lens, h0, w: int,
     ts = ts.astype(i32)
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
+    import numpy as _np
+    mx = int(_np.max(_np.asarray(mat)))
     mat = jnp.asarray(mat, dtype=i32)
-    mx = int(jnp.max(mat))
 
     colq = jnp.arange(QL + 1, dtype=jnp.int32)[None, :]        # [1, QL+1] (eh row index)
     q_codes = jnp.clip(qs, 0, 4)

@@ -88,7 +88,8 @@ def chain_seeds_device(bns: DeviceBns, smems, rbeg, seed_idx, coord_valid,
     S = max_seeds_per_chain
     pos_dtype = rbeg.dtype
     bidx = jnp.arange(B)
-    BIG = jnp.asarray(np.iinfo(np.int64).max // 4, dtype=pos_dtype)
+    BIG = jnp.asarray(np.iinfo(np.dtype(pos_dtype)).max // 4,
+                      dtype=pos_dtype)
 
     qbeg_all = jnp.take_along_axis(smems.m, seed_idx, axis=1)
     n_all = jnp.take_along_axis(smems.n, seed_idx, axis=1)
@@ -267,7 +268,7 @@ def chain_filter_device(ch: Chains, bns: DeviceBns, *, min_chain_weight: int,
     # (-w); ties keep slot (creation) order like the reference's introsort
     # input order is b-tree order — ties are rare and benign.
     sort_w = jnp.where(heavy, w_by_slot, -1)
-    order = jnp.argsort(-sort_w, axis=1, kind="stable").astype(jnp.int32)
+    order = jnp.argsort(-sort_w, axis=1, stable=True).astype(jnp.int32)
     n_valid = heavy.sum(axis=1).astype(jnp.int32)
 
     w_sorted = jnp.take_along_axis(sort_w, order, axis=1)
