@@ -1,0 +1,111 @@
+"""Benchmark: single-end alignment throughput on one chip.
+
+Workload ~ BASELINE.json config 1: E. coli-scale genome (4.6 Mbp),
+100 bp single-end simulated reads (1% error), full pipeline
+(seeding -> chaining -> extension on device; dedup/primary/CIGAR
+finalization to SAM records).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": reads/sec, "unit": "reads/s",
+   "vs_baseline": value / BWAMEM2_40CORE_EST}
+
+Baseline: the reference publishes no absolute reads/s (BASELINE.md);
+BWAMEM2_40CORE_EST is our documented estimate of a 40-core bwa-mem2
+server on this workload (~330k reads/s for a small cache-resident
+index), so vs_baseline > 2.0 corresponds to the north-star
+">2x reads/s/chip vs 40-core bwa-mem2".
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BWAMEM2_40CORE_EST = 330_000.0
+
+GENOME_BP = 4_600_000
+READ_LEN = 101
+BATCH = 4096
+N_BATCHES = 4
+ERR = 0.01
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_index.tpuidx.npz")
+
+
+def get_aligner():
+    from bwa_mem_scale_tpu.config import MemOptions
+    from bwa_mem_scale_tpu.pipeline.align import TpuAligner, PipelineConfig
+    from bwa_mem_scale_tpu.index.artifacts import load_index, save_index
+    from bwa_mem_scale_tpu.models.aligner import demo_genome
+    from bwa_mem_scale_tpu.index.build import build_index
+
+    if os.path.exists(CACHE):
+        idx = load_index(CACHE)
+    else:
+        print("* building benchmark index...", file=sys.stderr)
+        t0 = time.time()
+        bns = demo_genome(GENOME_BP, seed=7, n_contigs=1)
+        idx = build_index(bns)
+        save_index(idx, CACHE[: -len(".tpuidx.npz")])
+        print(f"* index built in {time.time() - t0:.1f}s", file=sys.stderr)
+    cfg = PipelineConfig(max_coords=256, max_chains=32,
+                         max_seeds_per_chain=16, max_regs=32)
+    return TpuAligner(idx, MemOptions(), cfg)
+
+
+def main():
+    import jax
+    from bwa_mem_scale_tpu.models.aligner import simulate_reads
+
+    print(f"* devices: {jax.devices()}", file=sys.stderr)
+    aligner = get_aligner()
+    batches = [simulate_reads(aligner.idx.bns, BATCH, READ_LEN,
+                              seed=100 + i, err_rate=ERR)
+               for i in range(N_BATCHES)]
+
+    # Warmup / compile.
+    t0 = time.time()
+    codes, lens = batches[0]
+    recs = aligner.align_and_finalize(codes, lens)
+    print(f"* warmup (compile) {time.time() - t0:.1f}s", file=sys.stderr)
+    n_mapped = sum(1 for r in recs if r and r[0].rid >= 0)
+    print(f"* warmup mapped {n_mapped}/{BATCH}", file=sys.stderr)
+
+    # Device-only timing (seeding+chaining+extension).
+    t0 = time.time()
+    for codes, lens in batches:
+        out = aligner._jit_extend(
+            aligner.fmi, aligner.dbns,
+            np.asarray(codes, dtype=np.int32),
+            np.asarray(lens, dtype=np.int32), L=READ_LEN)
+    jax.block_until_ready(out["valid"])
+    dev_dt = time.time() - t0
+    dev_rps = N_BATCHES * BATCH / dev_dt
+    print(f"* device stage: {dev_rps:,.0f} reads/s", file=sys.stderr)
+
+    # End-to-end timing.
+    t0 = time.time()
+    total = 0
+    for codes, lens in batches:
+        aligner.align_and_finalize(codes, lens, id_offset=total)
+        total += len(lens)
+    dt = time.time() - t0
+    rps = total / dt
+    print(f"* end-to-end: {rps:,.0f} reads/s ({dt:.2f}s for {total})",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "se_reads_per_sec_chip_ecoli101",
+        "value": round(rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / BWAMEM2_40CORE_EST, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""Command-line interface.
+
+Subcommand set mirrors the reference binary (src/main.cpp:51-168):
+  index          build the FM-index artifact from a FASTA
+  mem            align FASTQ reads, emit SAM
+  smem-table     build the FMA acceleration tables     (reference: FMI_search.cpp:229)
+  perfect-index  build the EMF perfect-match table     (reference: perfect_index.cpp:1741)
+  version
+
+Runtime options of `mem` mirror mem_opt_t flags (src/fastmap.cpp:952+).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from . import __version__
+from .config import MemOptions, MEM_F_ALL, MEM_F_SOFTCLIP
+
+
+def _add_mem_opts(p: argparse.ArgumentParser):
+    p.add_argument("-t", type=int, default=1, dest="n_threads",
+                   help="host worker threads (IO/finalize)")
+    p.add_argument("-k", type=int, default=19, dest="min_seed_len")
+    p.add_argument("-w", type=int, default=100, dest="band_width")
+    p.add_argument("-d", type=int, default=100, dest="zdrop")
+    p.add_argument("-r", type=float, default=1.5, dest="split_factor")
+    p.add_argument("-y", type=int, default=20, dest="max_mem_intv")
+    p.add_argument("-c", type=int, default=500, dest="max_occ")
+    p.add_argument("-A", type=int, default=1, dest="match")
+    p.add_argument("-B", type=int, default=4, dest="mismatch")
+    p.add_argument("-O", type=str, default="6,6", dest="gap_open")
+    p.add_argument("-E", type=str, default="1,1", dest="gap_ext")
+    p.add_argument("-L", type=str, default="5,5", dest="clip_pen")
+    p.add_argument("-T", type=int, default=30, dest="min_score")
+    p.add_argument("-a", action="store_true", dest="output_all")
+    p.add_argument("-Y", action="store_true", dest="softclip_supp")
+    p.add_argument("-K", type=int, default=None, dest="chunk_bp",
+                   help="process this many bp per batch (determinism)")
+    p.add_argument("-v", type=int, default=3, dest="verbosity")
+    p.add_argument("-R", type=str, default=None, dest="rg_line")
+    p.add_argument("--batch-reads", type=int, default=512,
+                   help="device batch size in reads")
+
+
+def _opts_from_args(args) -> MemOptions:
+    o_del, o_ins = (int(x) for x in args.gap_open.split(","))
+    e_del, e_ins = (int(x) for x in args.gap_ext.split(","))
+    p5, p3 = (int(x) for x in args.clip_pen.split(","))
+    opt = MemOptions(
+        a=args.match, b=args.mismatch, o_del=o_del, o_ins=o_ins,
+        e_del=e_del, e_ins=e_ins, pen_clip5=p5, pen_clip3=p3,
+        w=args.band_width, zdrop=args.zdrop,
+        min_seed_len=args.min_seed_len, split_factor=args.split_factor,
+        max_mem_intv=args.max_mem_intv, max_occ=args.max_occ,
+        T=args.min_score)
+    if args.output_all:
+        opt.flag |= MEM_F_ALL
+    if args.softclip_supp:
+        opt.flag |= MEM_F_SOFTCLIP
+    return opt
+
+
+def cmd_index(argv):
+    p = argparse.ArgumentParser(prog="bwa-mem-scale-tpu index")
+    p.add_argument("fasta")
+    p.add_argument("-p", dest="prefix", default=None)
+    args = p.parse_args(argv)
+    from .index.bntseq import parse_fasta
+    from .index.build import build_index
+    from .index.artifacts import save_index
+    prefix = args.prefix or args.fasta
+    t0 = time.time()
+    print(f"* parsing {args.fasta}", file=sys.stderr)
+    bns = parse_fasta(args.fasta)
+    print(f"* l_pac={bns.l_pac} n_seqs={bns.n_seqs}; building index",
+          file=sys.stderr)
+    idx = build_index(bns)
+    path = save_index(idx, prefix)
+    print(f"* wrote {path} in {time.time() - t0:.1f}s", file=sys.stderr)
+    return 0
+
+
+def cmd_mem(argv):
+    p = argparse.ArgumentParser(prog="bwa-mem-scale-tpu mem")
+    p.add_argument("prefix")
+    p.add_argument("fastq", nargs="+")
+    p.add_argument("-o", dest="output", default="-")
+    _add_mem_opts(p)
+    args = p.parse_args(argv)
+    opt = _opts_from_args(args)
+
+    from .index.artifacts import load_index
+    from .io.fastq import read_fastq, ReadBatch
+    from .io.sam import sam_header
+    from .pipeline.align import TpuAligner
+    from .pipeline.driver import run_alignment
+    from .utils.profiling import PROFILER
+
+    with PROFILER.phase("index_load"):
+        idx = load_index(args.prefix)
+        aligner = TpuAligner(idx, opt)
+
+    out = sys.stdout if args.output == "-" else open(args.output, "w")
+    rg_id = None
+    if args.rg_line:
+        for field in args.rg_line.replace("\\t", "\t").split("\t"):
+            if field.startswith("ID:"):
+                rg_id = field[3:]
+    out.write(sam_header(idx.bns, args.rg_line,
+                         pg_cl=" ".join(sys.argv)))
+    n_reads = run_alignment(aligner, args.fastq, out,
+                            batch_reads=args.batch_reads,
+                            chunk_bp=args.chunk_bp, rg_id=rg_id,
+                            n_workers=args.n_threads)
+    if out is not sys.stdout:
+        out.close()
+    PROFILER.report()
+    print(f"* aligned {n_reads} reads", file=sys.stderr)
+    return 0
+
+
+def cmd_smem_table(argv):
+    p = argparse.ArgumentParser(prog="bwa-mem-scale-tpu smem-table")
+    p.add_argument("prefix")
+    args = p.parse_args(argv)
+    from .index.artifacts import load_index
+    from .index.accel import build_smem_tables, save_smem_tables
+    idx = load_index(args.prefix)
+    tables = build_smem_tables(idx)
+    path = save_smem_tables(tables, args.prefix)
+    print(f"* wrote {path}", file=sys.stderr)
+    return 0
+
+
+def cmd_perfect_index(argv):
+    p = argparse.ArgumentParser(prog="bwa-mem-scale-tpu perfect-index")
+    p.add_argument("prefix")
+    p.add_argument("-l", dest="seed_len", type=int, default=151)
+    args = p.parse_args(argv)
+    from .index.artifacts import load_index
+    from .index.perfect import build_perfect_table, save_perfect_table
+    idx = load_index(args.prefix)
+    table = build_perfect_table(idx, args.seed_len)
+    path = save_perfect_table(table, args.prefix)
+    print(f"* wrote {path}", file=sys.stderr)
+    return 0
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: bwa-mem-scale-tpu "
+              "{index,mem,smem-table,perfect-index,version} ...",
+              file=sys.stderr)
+        return 1
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "index":
+        return cmd_index(rest)
+    if cmd == "mem":
+        return cmd_mem(rest)
+    if cmd == "smem-table":
+        return cmd_smem_table(rest)
+    if cmd == "perfect-index":
+        return cmd_perfect_index(rest)
+    if cmd == "version":
+        print(__version__)
+        return 0
+    print(f"unknown command: {cmd}", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

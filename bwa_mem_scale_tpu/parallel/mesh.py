@@ -1,0 +1,64 @@
+"""Multi-chip execution: read-axis data parallelism over a device mesh.
+
+The reference scales by thread pools + process-shared index memory
+(kt_for src/kthread.cpp:79, bwa_shm src/bwa_shm.cpp); the TPU-native
+equivalent is a jax.sharding.Mesh with the read batch sharded over the
+'dp' axis and the index replicated in every chip's HBM (SURVEY.md
+section 5.8). shard_map keeps each chip's seeding while-loops local —
+no per-iteration collectives; chips retire their shards independently.
+
+Index sharding over a second axis (for indices larger than one chip's
+HBM) is the planned extension; the entry points here take a mesh so
+that mode can slot in.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..pipeline.align import seed_chain_extend, PipelineConfig
+from ..config import MemOptions
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def sharded_align_fn(mesh: Mesh, opt: MemOptions, cfg: PipelineConfig,
+                     L: int, axis: str = "dp"):
+    """Build a jitted, read-sharded seed-chain-extend step.
+
+    Returns f(fmi, dbns, codes [B, L], lens [B]) with B divisible by the
+    mesh size; index state replicated, read axis sharded.
+    """
+    core = partial(seed_chain_extend, L=L, opt=opt, cfg=cfg)
+
+    fn = jax.shard_map(
+        core, mesh=mesh,
+        in_specs=(P(), P(), P(axis, None), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def pad_to_multiple(codes: np.ndarray, lens: np.ndarray, mult: int):
+    """Pad the read batch so it divides evenly over the mesh. Padding
+    reads have length 0 and produce no valid regions."""
+    B = codes.shape[0]
+    rem = (-B) % mult
+    if rem == 0:
+        return codes, lens, B
+    codes = np.concatenate(
+        [codes, np.full((rem, codes.shape[1]), 4, dtype=codes.dtype)])
+    lens = np.concatenate([lens, np.zeros(rem, dtype=lens.dtype)])
+    return codes, lens, B

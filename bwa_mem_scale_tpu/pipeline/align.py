@@ -69,6 +69,242 @@ class PipelineConfig:
     target_pad: int = 8
 
 
+def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
+                      L: int, *, opt: MemOptions, cfg: "PipelineConfig"):
+    """Device stage 1: seeding -> chaining -> extension for one batch.
+
+    Free function so multi-chip wrappers (parallel/mesh.py) can shard it
+    with shard_map; TpuAligner jits it with captured index state.
+    """
+    B = codes.shape[0]
+    bidx = jnp.arange(B)
+    pos_dtype = fmi.pos_dtype
+
+    bufs = collect_smems_device(
+        fmi, codes, lens,
+        min_seed_len=opt.min_seed_len, split_len=opt.split_len,
+        split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
+        max_out=cfg.max_smem_out or L)
+    rbeg, seed_idx, coord_valid, total = expand_and_lookup(
+        fmi, bufs, opt.max_occ, cfg.max_coords)
+    ch = chain_seeds_device(
+        dbns, bufs, rbeg, seed_idx, coord_valid,
+        w=opt.w, max_chain_gap=opt.max_chain_gap,
+        max_chains=cfg.max_chains,
+        max_seeds_per_chain=cfg.max_seeds_per_chain)
+    order, kept, w_slot = chain_filter_device(
+        ch, dbns, min_chain_weight=opt.min_chain_weight,
+        mask_level=opt.mask_level, max_chain_gap=opt.max_chain_gap,
+        drop_ratio=opt.drop_ratio, min_seed_len=opt.min_seed_len,
+        max_chain_extend=opt.max_chain_extend)
+    frac_rep = frac_rep_device(bufs, lens, opt.max_occ)
+
+    C = cfg.max_chains
+    S = cfg.max_seeds_per_chain
+    R = cfg.max_regs
+
+    # ---- enumerate (chain, seed) candidates in processing order ----
+    kept_chain = kept > 0                              # [B, C] sorted pos
+    chain_rank = jnp.cumsum(kept_chain.astype(jnp.int32), axis=1) - 1
+    slot_by_pos = order                                # [B, C]
+    ns_by_pos = ch.n_seeds[bidx[:, None], slot_by_pos] # [B, C]
+    score_by_pos = ch.seed_score[bidx[:, None], slot_by_pos]  # [B, C, S]
+    sidx = jnp.arange(S, dtype=jnp.int32)[None, None, :]
+    svalid = (sidx < ns_by_pos[:, :, None]) & kept_chain[:, :, None]
+    # seeds processed best-score-first, ties by larger index
+    seed_key = (score_by_pos.astype(jnp.int64) << 16) | sidx.astype(
+        jnp.int64)
+    seed_key = jnp.where(svalid, seed_key, jnp.int64(-1))
+    seed_perm = jnp.argsort(-seed_key, axis=2).astype(jnp.int32)
+    seed_rank = jnp.argsort(seed_perm, axis=2).astype(jnp.int32)
+
+    cand_key = jnp.where(
+        svalid,
+        chain_rank[:, :, None] * S
+        + jnp.take_along_axis(seed_rank, sidx, axis=2),
+        jnp.int32(1 << 30))
+    flat_key = cand_key.reshape(B, C * S)
+    cand_order = jnp.argsort(flat_key, axis=1).astype(jnp.int32)
+    sel = cand_order[:, :R]                            # [B, R]
+    sel_valid = jnp.take_along_axis(flat_key, sel, axis=1) < (1 << 30)
+    reg_overflow = (jnp.sum(svalid.reshape(B, C * S), axis=1) > R)
+
+    sel_pos = sel // S                                 # sorted chain pos
+    sel_sidx = sel % S                                 # raw seed index
+    sel_slot = slot_by_pos[bidx[:, None], sel_pos]     # chain data slot
+
+    g_qbeg = ch.seed_qbeg[bidx[:, None], sel_slot, sel_sidx]
+    g_rbeg = ch.seed_rbeg[bidx[:, None], sel_slot, sel_sidx]
+    g_len = ch.seed_len[bidx[:, None], sel_slot, sel_sidx]
+    g_rid = ch.rid[bidx[:, None], sel_slot]
+
+    # ---- per-chain reference span rmax (by slot) ----
+    a_, w_ = opt.a, opt.w
+    cs_qbeg = ch.seed_qbeg.astype(jnp.int64)
+    cs_len = ch.seed_len.astype(jnp.int64)
+    cs_rbeg = ch.seed_rbeg.astype(jnp.int64)
+    cs_valid = jnp.arange(S)[None, None, :] < ch.n_seeds[:, :, None]
+    l_query = lens.astype(jnp.int64)[:, None, None]
+    gap_l = _cal_max_gap(cs_qbeg, a_, opt.o_del, opt.e_del,
+                         opt.o_ins, opt.e_ins, w_)
+    flank_r = l_query - cs_qbeg - cs_len
+    gap_r = _cal_max_gap(flank_r, a_, opt.o_del, opt.e_del,
+                         opt.o_ins, opt.e_ins, w_)
+    b_cand = cs_rbeg - (cs_qbeg + gap_l)
+    e_cand = cs_rbeg + cs_len + flank_r + gap_r
+    l_pac2 = jnp.int64(2 * dbns.l_pac)
+    rmax0 = jnp.min(jnp.where(cs_valid, b_cand, l_pac2), axis=2)
+    rmax1 = jnp.max(jnp.where(cs_valid, e_cand, 0), axis=2)
+    rmax0 = jnp.maximum(rmax0, 0)
+    rmax1 = jnp.minimum(rmax1, l_pac2)
+    first_rbeg = cs_rbeg[:, :, 0]
+    bridging = (rmax0 < dbns.l_pac) & (dbns.l_pac < rmax1)
+    rmax1 = jnp.where(bridging & (first_rbeg < dbns.l_pac),
+                      dbns.l_pac, rmax1)
+    rmax0 = jnp.where(bridging & (first_rbeg >= dbns.l_pac),
+                      dbns.l_pac, rmax0)
+    # clamp to the contig of the first seed (bns_fetch_seq_v2)
+    mid = first_rbeg
+    mid_f, mid_rev = dbns.depos(mid)
+    mid_rid = dbns.pos2rid(mid_f)
+    mrid = jnp.clip(mid_rid, 0, None).astype(jnp.int32)
+    far_beg = dbns.offsets[mrid]
+    n_off = jnp.concatenate(
+        [dbns.offsets, jnp.asarray([dbns.l_pac], jnp.int64)])
+    far_end = n_off[mrid + 1]
+    fb = jnp.where(mid_rev, l_pac2 - far_end, far_beg)
+    fe = jnp.where(mid_rev, l_pac2 - far_beg, far_end)
+    rmax0 = jnp.maximum(rmax0, fb)
+    rmax1 = jnp.minimum(rmax1, fe)
+
+    rm0 = rmax0[bidx[:, None], sel_slot]               # [B, R]
+    rm1 = rmax1[bidx[:, None], sel_slot]
+
+    # ---- build extension pair sequences ----
+    TL = L + 2 * w_ + cfg.target_pad
+    g_rbeg64 = g_rbeg.astype(jnp.int64)
+    g_len64 = g_len.astype(jnp.int64)
+    lensB = lens.astype(jnp.int32)[:, None]
+
+    t_iota = jnp.arange(TL, dtype=jnp.int64)[None, None, :]
+    q_iota = jnp.arange(L, dtype=jnp.int32)[None, None, :]
+
+    # left: query reversed prefix, target reversed ref[rm0:rbeg]
+    ql_len = jnp.where(sel_valid, g_qbeg, 0)
+    q_l = jnp.take_along_axis(
+        codes[:, None, :],
+        jnp.clip(g_qbeg[:, :, None] - 1 - q_iota, 0, L - 1), axis=2)
+    tl_len = jnp.where(sel_valid, (g_rbeg64 - rm0), 0).astype(jnp.int32)
+    t_l_idx = jnp.clip(g_rbeg64[:, :, None] - 1 - t_iota, 0,
+                       l_pac2 - 1)
+    t_l = fmi.ref[t_l_idx].astype(jnp.int32)
+
+    # right: query suffix from qe, target ref[rbeg+len : rm1]
+    g_qe = g_qbeg + g_len
+    qr_len = jnp.where(sel_valid, lensB - g_qe, 0)
+    q_r = jnp.take_along_axis(
+        codes[:, None, :],
+        jnp.clip(g_qe[:, :, None] + q_iota, 0, L - 1), axis=2)
+    re0 = g_rbeg64 + g_len64
+    tr_len = jnp.where(sel_valid, rm1 - re0, 0).astype(jnp.int32)
+    t_r_idx = jnp.clip(re0[:, :, None] + t_iota, 0, l_pac2 - 1)
+    t_r = fmi.ref[t_r_idx].astype(jnp.int32)
+
+    do_left = sel_valid & (g_qbeg > 0)
+    do_right = sel_valid & (g_qe < lensB)
+
+    def flat(x):
+        return x.reshape((B * R,) + x.shape[2:])
+
+    h0_l = (g_len * a_).astype(jnp.int32)
+
+    def run_bsw(q, qlen, t, tlen, h0, wv):
+        return banded_swa_batch(
+            flat(q).astype(jnp.int32), flat(qlen), flat(t), flat(tlen),
+            flat(h0), wv, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+            opt.zdrop, opt.mat)
+
+    # ---- left extension with band-doubling retry ----
+    ql_l = jnp.where(do_left, ql_len, 0)
+    tl_l = jnp.where(do_left, tl_len, 0)
+    resL1 = run_bsw(q_l, ql_l, t_l, tl_l, h0_l, w_)
+    acc1 = (resL1.max_off.reshape(B, R) < ((w_ >> 1) + (w_ >> 2)))
+    need2 = do_left & ~acc1
+    tl_l2 = jnp.where(need2, tl_len, 0)
+    resL2 = run_bsw(q_l, jnp.where(need2, ql_len, 0), t_l, tl_l2,
+                    h0_l, w_ << 1)
+
+    def pick(r1, r2, which2):
+        return jax.tree_util.tree_map(
+            lambda x1, x2: jnp.where(which2, x2.reshape(B, R),
+                                     x1.reshape(B, R)), r1, r2)
+
+    resL = pick(resL1, resL2, need2)
+    wL = jnp.where(need2, w_ << 1, w_)
+
+    score_l = jnp.where(do_left, resL.score, g_len * a_)
+    gs_ok_l = (resL.gscore <= 0) | (resL.gscore
+                                    <= score_l - opt.pen_clip5)
+    qb = jnp.where(do_left,
+                   jnp.where(gs_ok_l, g_qbeg - resL.qle, 0), 0)
+    rb = jnp.where(do_left,
+                   jnp.where(gs_ok_l, g_rbeg64 - resL.tle,
+                             g_rbeg64 - resL.gtle), g_rbeg64)
+    truesc = jnp.where(do_left,
+                       jnp.where(gs_ok_l, score_l, resL.gscore),
+                       g_len * a_)
+    a_w = jnp.where(do_left, jnp.maximum(w_, wL), w_)
+
+    # ---- right extension (h0 = left score) ----
+    qr_l = jnp.where(do_right, qr_len, 0)
+    tr_l = jnp.where(do_right, tr_len, 0)
+    resR1 = run_bsw(q_r, qr_l, t_r, tr_l, score_l, w_)
+    accR1 = ((resR1.score.reshape(B, R) == score_l)
+             | (resR1.max_off.reshape(B, R) < ((w_ >> 1) + (w_ >> 2))))
+    needR2 = do_right & ~accR1
+    resR2 = run_bsw(q_r, jnp.where(needR2, qr_len, 0), t_r,
+                    jnp.where(needR2, tr_len, 0), score_l, w_ << 1)
+    resR = pick(resR1, resR2, needR2)
+    wR = jnp.where(needR2, w_ << 1, w_)
+
+    score_f = jnp.where(do_right, resR.score, score_l)
+    gs_ok_r = (resR.gscore <= 0) | (resR.gscore
+                                    <= score_f - opt.pen_clip3)
+    qe_f = jnp.where(do_right,
+                     jnp.where(gs_ok_r, g_qe + resR.qle, lensB),
+                     lensB)
+    re_f = jnp.where(do_right,
+                     re0 + jnp.where(gs_ok_r, resR.tle,
+                                     resR.gtle).astype(jnp.int64),
+                     re0)
+    truesc = truesc + jnp.where(
+        do_right,
+        jnp.where(gs_ok_r, score_f, resR.gscore) - score_l, 0)
+    a_w = jnp.where(do_right, jnp.maximum(a_w, wR), a_w)
+
+    # ---- seed coverage over the final region ----
+    ch_q = ch.seed_qbeg[bidx[:, None], sel_slot]       # [B, R, S]
+    ch_r = ch.seed_rbeg[bidx[:, None], sel_slot].astype(jnp.int64)
+    ch_l = ch.seed_len[bidx[:, None], sel_slot]
+    ch_v = jnp.arange(S)[None, None, :] < ch.n_seeds[
+        bidx[:, None], sel_slot][:, :, None]
+    inside = (ch_v
+              & (ch_q >= qb[:, :, None])
+              & (ch_q + ch_l <= qe_f[:, :, None])
+              & (ch_r >= rb[:, :, None])
+              & (ch_r + ch_l <= re_f[:, :, None]))
+    seedcov = jnp.sum(jnp.where(inside, ch_l, 0), axis=2)
+
+    return dict(
+        valid=sel_valid, qb=qb, qe=qe_f, rb=rb, re=re_f,
+        score=score_f, truesc=truesc, w=a_w, seedcov=seedcov,
+        rid=g_rid, seedlen0=g_len, frac_rep=frac_rep,
+        smem_cnt=bufs.cnt, coord_total=total,
+        chain_overflow=ch.overflow, reg_overflow=reg_overflow,
+    )
+
+
+
 class TpuAligner:
     """Holds device index state and compiled pipeline stages."""
 
@@ -80,244 +316,14 @@ class TpuAligner:
         self.fmi = DeviceFMIndex.from_host(idx)
         self.dbns = DeviceBns.from_host(idx.bns)
         self._jit_extend = jax.jit(
-            self._seed_chain_extend,
+            partial(seed_chain_extend, opt=self.opt, cfg=self.cfg),
             static_argnames=("L",))
         self._jit_kswg = jax.jit(
             kswg.ksw_global_batch, static_argnames=())
 
     # ------------------------------------------------------------------
-    # Stage 1 (device): seeding -> chaining -> extension
+    # Host finalization
     # ------------------------------------------------------------------
-    def _seed_chain_extend(self, codes, lens, L: int):
-        opt, cfg = self.opt, self.cfg
-        fmi, dbns = self.fmi, self.dbns
-        B = codes.shape[0]
-        bidx = jnp.arange(B)
-        pos_dtype = fmi.pos_dtype
-
-        bufs = collect_smems_device(
-            fmi, codes, lens,
-            min_seed_len=opt.min_seed_len, split_len=opt.split_len,
-            split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
-            max_out=cfg.max_smem_out or L)
-        rbeg, seed_idx, coord_valid, total = expand_and_lookup(
-            fmi, bufs, opt.max_occ, cfg.max_coords)
-        ch = chain_seeds_device(
-            dbns, bufs, rbeg, seed_idx, coord_valid,
-            w=opt.w, max_chain_gap=opt.max_chain_gap,
-            max_chains=cfg.max_chains,
-            max_seeds_per_chain=cfg.max_seeds_per_chain)
-        order, kept, w_slot = chain_filter_device(
-            ch, dbns, min_chain_weight=opt.min_chain_weight,
-            mask_level=opt.mask_level, max_chain_gap=opt.max_chain_gap,
-            drop_ratio=opt.drop_ratio, min_seed_len=opt.min_seed_len,
-            max_chain_extend=opt.max_chain_extend)
-        frac_rep = frac_rep_device(bufs, lens, opt.max_occ)
-
-        C = cfg.max_chains
-        S = cfg.max_seeds_per_chain
-        R = cfg.max_regs
-
-        # ---- enumerate (chain, seed) candidates in processing order ----
-        kept_chain = kept > 0                              # [B, C] sorted pos
-        chain_rank = jnp.cumsum(kept_chain.astype(jnp.int32), axis=1) - 1
-        slot_by_pos = order                                # [B, C]
-        ns_by_pos = ch.n_seeds[bidx[:, None], slot_by_pos] # [B, C]
-        score_by_pos = ch.seed_score[bidx[:, None], slot_by_pos]  # [B, C, S]
-        sidx = jnp.arange(S, dtype=jnp.int32)[None, None, :]
-        svalid = (sidx < ns_by_pos[:, :, None]) & kept_chain[:, :, None]
-        # seeds processed best-score-first, ties by larger index
-        seed_key = (score_by_pos.astype(jnp.int64) << 16) | sidx.astype(
-            jnp.int64)
-        seed_key = jnp.where(svalid, seed_key, jnp.int64(-1))
-        seed_perm = jnp.argsort(-seed_key, axis=2).astype(jnp.int32)
-        seed_rank = jnp.argsort(seed_perm, axis=2).astype(jnp.int32)
-
-        cand_key = jnp.where(
-            svalid,
-            chain_rank[:, :, None] * S
-            + jnp.take_along_axis(seed_rank, sidx, axis=2),
-            jnp.int32(1 << 30))
-        flat_key = cand_key.reshape(B, C * S)
-        cand_order = jnp.argsort(flat_key, axis=1).astype(jnp.int32)
-        sel = cand_order[:, :R]                            # [B, R]
-        sel_valid = jnp.take_along_axis(flat_key, sel, axis=1) < (1 << 30)
-        reg_overflow = (jnp.sum(svalid.reshape(B, C * S), axis=1) > R)
-
-        sel_pos = sel // S                                 # sorted chain pos
-        sel_sidx = sel % S                                 # raw seed index
-        sel_slot = slot_by_pos[bidx[:, None], sel_pos]     # chain data slot
-
-        g_qbeg = ch.seed_qbeg[bidx[:, None], sel_slot, sel_sidx]
-        g_rbeg = ch.seed_rbeg[bidx[:, None], sel_slot, sel_sidx]
-        g_len = ch.seed_len[bidx[:, None], sel_slot, sel_sidx]
-        g_rid = ch.rid[bidx[:, None], sel_slot]
-
-        # ---- per-chain reference span rmax (by slot) ----
-        a_, w_ = opt.a, opt.w
-        cs_qbeg = ch.seed_qbeg.astype(jnp.int64)
-        cs_len = ch.seed_len.astype(jnp.int64)
-        cs_rbeg = ch.seed_rbeg.astype(jnp.int64)
-        cs_valid = jnp.arange(S)[None, None, :] < ch.n_seeds[:, :, None]
-        l_query = lens.astype(jnp.int64)[:, None, None]
-        gap_l = _cal_max_gap(cs_qbeg, a_, opt.o_del, opt.e_del,
-                             opt.o_ins, opt.e_ins, w_)
-        flank_r = l_query - cs_qbeg - cs_len
-        gap_r = _cal_max_gap(flank_r, a_, opt.o_del, opt.e_del,
-                             opt.o_ins, opt.e_ins, w_)
-        b_cand = cs_rbeg - (cs_qbeg + gap_l)
-        e_cand = cs_rbeg + cs_len + flank_r + gap_r
-        l_pac2 = jnp.int64(2 * dbns.l_pac)
-        rmax0 = jnp.min(jnp.where(cs_valid, b_cand, l_pac2), axis=2)
-        rmax1 = jnp.max(jnp.where(cs_valid, e_cand, 0), axis=2)
-        rmax0 = jnp.maximum(rmax0, 0)
-        rmax1 = jnp.minimum(rmax1, l_pac2)
-        first_rbeg = cs_rbeg[:, :, 0]
-        bridging = (rmax0 < dbns.l_pac) & (dbns.l_pac < rmax1)
-        rmax1 = jnp.where(bridging & (first_rbeg < dbns.l_pac),
-                          dbns.l_pac, rmax1)
-        rmax0 = jnp.where(bridging & (first_rbeg >= dbns.l_pac),
-                          dbns.l_pac, rmax0)
-        # clamp to the contig of the first seed (bns_fetch_seq_v2)
-        mid = first_rbeg
-        mid_f, mid_rev = dbns.depos(mid)
-        mid_rid = dbns.pos2rid(mid_f)
-        mrid = jnp.clip(mid_rid, 0, None).astype(jnp.int32)
-        far_beg = dbns.offsets[mrid]
-        n_off = jnp.concatenate(
-            [dbns.offsets, jnp.asarray([dbns.l_pac], jnp.int64)])
-        far_end = n_off[mrid + 1]
-        fb = jnp.where(mid_rev, l_pac2 - far_end, far_beg)
-        fe = jnp.where(mid_rev, l_pac2 - far_beg, far_end)
-        rmax0 = jnp.maximum(rmax0, fb)
-        rmax1 = jnp.minimum(rmax1, fe)
-
-        rm0 = rmax0[bidx[:, None], sel_slot]               # [B, R]
-        rm1 = rmax1[bidx[:, None], sel_slot]
-
-        # ---- build extension pair sequences ----
-        TL = L + 2 * w_ + cfg.target_pad
-        g_rbeg64 = g_rbeg.astype(jnp.int64)
-        g_len64 = g_len.astype(jnp.int64)
-        lensB = lens.astype(jnp.int32)[:, None]
-
-        t_iota = jnp.arange(TL, dtype=jnp.int64)[None, None, :]
-        q_iota = jnp.arange(L, dtype=jnp.int32)[None, None, :]
-
-        # left: query reversed prefix, target reversed ref[rm0:rbeg]
-        ql_len = jnp.where(sel_valid, g_qbeg, 0)
-        q_l = jnp.take_along_axis(
-            codes[:, None, :],
-            jnp.clip(g_qbeg[:, :, None] - 1 - q_iota, 0, L - 1), axis=2)
-        tl_len = jnp.where(sel_valid, (g_rbeg64 - rm0), 0).astype(jnp.int32)
-        t_l_idx = jnp.clip(g_rbeg64[:, :, None] - 1 - t_iota, 0,
-                           l_pac2 - 1)
-        t_l = fmi.ref[t_l_idx].astype(jnp.int32)
-
-        # right: query suffix from qe, target ref[rbeg+len : rm1]
-        g_qe = g_qbeg + g_len
-        qr_len = jnp.where(sel_valid, lensB - g_qe, 0)
-        q_r = jnp.take_along_axis(
-            codes[:, None, :],
-            jnp.clip(g_qe[:, :, None] + q_iota, 0, L - 1), axis=2)
-        re0 = g_rbeg64 + g_len64
-        tr_len = jnp.where(sel_valid, rm1 - re0, 0).astype(jnp.int32)
-        t_r_idx = jnp.clip(re0[:, :, None] + t_iota, 0, l_pac2 - 1)
-        t_r = fmi.ref[t_r_idx].astype(jnp.int32)
-
-        do_left = sel_valid & (g_qbeg > 0)
-        do_right = sel_valid & (g_qe < lensB)
-
-        def flat(x):
-            return x.reshape((B * R,) + x.shape[2:])
-
-        h0_l = (g_len * a_).astype(jnp.int32)
-
-        def run_bsw(q, qlen, t, tlen, h0, wv):
-            return banded_swa_batch(
-                flat(q).astype(jnp.int32), flat(qlen), flat(t), flat(tlen),
-                flat(h0), wv, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
-                opt.zdrop, opt.mat)
-
-        # ---- left extension with band-doubling retry ----
-        ql_l = jnp.where(do_left, ql_len, 0)
-        tl_l = jnp.where(do_left, tl_len, 0)
-        resL1 = run_bsw(q_l, ql_l, t_l, tl_l, h0_l, w_)
-        acc1 = (resL1.max_off.reshape(B, R) < ((w_ >> 1) + (w_ >> 2)))
-        need2 = do_left & ~acc1
-        tl_l2 = jnp.where(need2, tl_len, 0)
-        resL2 = run_bsw(q_l, jnp.where(need2, ql_len, 0), t_l, tl_l2,
-                        h0_l, w_ << 1)
-
-        def pick(r1, r2, which2):
-            return jax.tree_util.tree_map(
-                lambda x1, x2: jnp.where(which2, x2.reshape(B, R),
-                                         x1.reshape(B, R)), r1, r2)
-
-        resL = pick(resL1, resL2, need2)
-        wL = jnp.where(need2, w_ << 1, w_)
-
-        score_l = jnp.where(do_left, resL.score, g_len * a_)
-        gs_ok_l = (resL.gscore <= 0) | (resL.gscore
-                                        <= score_l - opt.pen_clip5)
-        qb = jnp.where(do_left,
-                       jnp.where(gs_ok_l, g_qbeg - resL.qle, 0), 0)
-        rb = jnp.where(do_left,
-                       jnp.where(gs_ok_l, g_rbeg64 - resL.tle,
-                                 g_rbeg64 - resL.gtle), g_rbeg64)
-        truesc = jnp.where(do_left,
-                           jnp.where(gs_ok_l, score_l, resL.gscore),
-                           g_len * a_)
-        a_w = jnp.where(do_left, jnp.maximum(w_, wL), w_)
-
-        # ---- right extension (h0 = left score) ----
-        qr_l = jnp.where(do_right, qr_len, 0)
-        tr_l = jnp.where(do_right, tr_len, 0)
-        resR1 = run_bsw(q_r, qr_l, t_r, tr_l, score_l, w_)
-        accR1 = ((resR1.score.reshape(B, R) == score_l)
-                 | (resR1.max_off.reshape(B, R) < ((w_ >> 1) + (w_ >> 2))))
-        needR2 = do_right & ~accR1
-        resR2 = run_bsw(q_r, jnp.where(needR2, qr_len, 0), t_r,
-                        jnp.where(needR2, tr_len, 0), score_l, w_ << 1)
-        resR = pick(resR1, resR2, needR2)
-        wR = jnp.where(needR2, w_ << 1, w_)
-
-        score_f = jnp.where(do_right, resR.score, score_l)
-        gs_ok_r = (resR.gscore <= 0) | (resR.gscore
-                                        <= score_f - opt.pen_clip3)
-        qe_f = jnp.where(do_right,
-                         jnp.where(gs_ok_r, g_qe + resR.qle, lensB),
-                         lensB)
-        re_f = jnp.where(do_right,
-                         re0 + jnp.where(gs_ok_r, resR.tle,
-                                         resR.gtle).astype(jnp.int64),
-                         re0)
-        truesc = truesc + jnp.where(
-            do_right,
-            jnp.where(gs_ok_r, score_f, resR.gscore) - score_l, 0)
-        a_w = jnp.where(do_right, jnp.maximum(a_w, wR), a_w)
-
-        # ---- seed coverage over the final region ----
-        ch_q = ch.seed_qbeg[bidx[:, None], sel_slot]       # [B, R, S]
-        ch_r = ch.seed_rbeg[bidx[:, None], sel_slot].astype(jnp.int64)
-        ch_l = ch.seed_len[bidx[:, None], sel_slot]
-        ch_v = jnp.arange(S)[None, None, :] < ch.n_seeds[
-            bidx[:, None], sel_slot][:, :, None]
-        inside = (ch_v
-                  & (ch_q >= qb[:, :, None])
-                  & (ch_q + ch_l <= qe_f[:, :, None])
-                  & (ch_r >= rb[:, :, None])
-                  & (ch_r + ch_l <= re_f[:, :, None]))
-        seedcov = jnp.sum(jnp.where(inside, ch_l, 0), axis=2)
-
-        return dict(
-            valid=sel_valid, qb=qb, qe=qe_f, rb=rb, re=re_f,
-            score=score_f, truesc=truesc, w=a_w, seedcov=seedcov,
-            rid=g_rid, seedlen0=g_len, frac_rep=frac_rep,
-            smem_cnt=bufs.cnt, coord_total=total,
-            chain_overflow=ch.overflow, reg_overflow=reg_overflow,
-        )
-
     # ------------------------------------------------------------------
     # Host finalization
     # ------------------------------------------------------------------
@@ -329,7 +335,8 @@ class TpuAligner:
         L = int(codes.shape[1])
         assert 5.5 * math.log(max(int(lens.max()), 2)) > 0.05 * L, \
             "long-read seed SW filter not implemented"
-        out = self._jit_extend(jnp.asarray(codes, dtype=jnp.int32),
+        out = self._jit_extend(self.fmi, self.dbns,
+                               jnp.asarray(codes, dtype=jnp.int32),
                                jnp.asarray(lens, dtype=jnp.int32), L=L)
         out = {k: np.asarray(v) for k, v in out.items()}
         is_alt = self.idx.bns.is_alt
