@@ -1,31 +1,32 @@
-"""Batched lockstep SMEM search on device.
+"""Batched SMEM search on device — position-parallel formulation.
 
-TPU-native re-formulation of the reference's three seeding passes
-(mem_collect_smem, src/bwamem.cpp:648-795):
+The reference finds SMEMs per read with a sequential
+forward-then-backward sweep per restart position
+(getSMEMsAllPosOneThread, src/FMI_search.cpp:1372-1660). A lockstep
+port of that control flow serializes thousands of tiny steps; instead
+we use the structure of maximal exact matches:
 
-- pass 1: all-position SMEM search (getSMEMsAllPosOneThread,
-  src/FMI_search.cpp:1608-1660) — every read advances its own start
-  cursor x; the batch runs in lockstep through masked while-loops, each
-  step performing one batched occ gather for all active lanes.
-- pass 2: re-seeding at the midpoint of long low-occurrence SMEMs
-  (getSMEMsOnePosOneThread with min_intv = s+1).
-- pass 3: forward-only seed strategy emitting the first interval that
-  drops below max_mem_intv (bwtSeedStrategyAllPosOneThread,
-  src/FMI_search.cpp:1662-1815).
+  Let E(p) = exclusive end of the longest valid match starting at p
+  (valid = every prefix interval has >= min_intv occurrences).
+  E is monotone nondecreasing, so [p, E(p)) is left-maximal iff
+  E(p-1) < E(p), and the SMEM set is exactly
+      { (p, E(p)-1) : E(p-1) < E(p) or p = 0, E(p)-p >= min_seed_len }.
 
-Where the reference compacts the active read set between batches
-(head/tail copy, FMI_search.cpp:1629-1657), we keep lanes resident and
-mask them — the TPU's vector lanes make idle work free relative to the
-gather traffic.
+That makes pass 1 a *single* batched forward-extension sweep over all
+(read, position) lanes at once — max-match-length lockstep steps, each
+one fused occ gather over B*L lanes, no per-read control flow. The
+re-seeding pass runs the same kernel over a compacted (read, midpoint,
+min_intv) task list (covering matches = p <= x < E(p)), and the
+third-pass seed strategy reuses the sweep's failure records plus an
+O(L) pointer chase to replay its restart chain
+(bwtSeedStrategyAllPosOneThread, src/FMI_search.cpp:1662-1815).
 
-Output: per-read SMEM arrays sorted by (m, n), ready for SA lookup and
-chaining. All loops are fixed-shape; overflow of the per-read output
-capacity is detectable via the returned counts (tests assert headroom).
+Outputs are bit-identical to the reference's matchArray after its
+final (m, n) sort (verified against the oracle in tests).
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -50,10 +51,10 @@ class SmemBuf(NamedTuple):
         return cls(zi, zi, zp, zp, zp, jnp.zeros((B,), dtype=jnp.int32))
 
     def emit(self, mask, m, n, k, l, s):
-        """Masked append of one record per lane."""
+        """Masked append of one record per lane (used by pass 3)."""
         B, M = self.m.shape
         bidx = jnp.arange(B)
-        idx = jnp.where(mask, self.cnt, M)  # out-of-bounds rows drop
+        idx = jnp.where(mask, self.cnt, M)
         return SmemBuf(
             self.m.at[bidx, idx].set(m, mode="drop"),
             self.n.at[bidx, idx].set(n, mode="drop"),
@@ -65,325 +66,246 @@ class SmemBuf(NamedTuple):
 
 
 def _fwd_ext4(fmi, k, l, s, a):
-    """Forward extension by base a via the k/l swap (one fused gather)."""
+    """Forward extension by base a via the k/l swap
+    (src/FMI_search.cpp:1477-1484); shape-polymorphic."""
     k4, l4, s4 = backward_ext_all4(fmi, l, k, s)
     ai = (3 - a)[..., None].astype(jnp.int32)
     take = lambda v: jnp.take_along_axis(v, ai, axis=-1)[..., 0]
-    # swap back: new_k = l-result, new_l = k-result
     return take(l4), take(k4), take(s4)
 
 
-def _bwd_ext4(fmi, k, l, s, a):
-    k4, l4, s4 = backward_ext_all4(fmi, k, l, s)
-    ai = a[..., None].astype(jnp.int32)
-    take = lambda v: jnp.take_along_axis(v, ai, axis=-1)[..., 0]
-    return take(k4), take(l4), take(s4)
+def extend_all_positions(fmi: DeviceFMIndex, codes, lens, min_intv,
+                         check_initial: bool, want_fail: bool,
+                         stop_min_len: int = 0):
+    """Forward-extend from every start position of every read at once.
 
+    codes [B, L] int32, lens [B], min_intv [B] (per read/task).
+    check_initial: require the 1-bp interval itself to have >= min_intv
+    occurrences (pass 1/2 semantics); pass 3 starts unconditionally.
 
-def _one_pos(fmi: DeviceFMIndex, codes, lens, x, min_intv, active_in,
-             min_seed_len: int, out: SmemBuf):
-    """Lockstep getSMEMsOnePosOneThread over the batch.
-
-    codes [B, L] int32, lens/x/min_intv [B], active_in [B] bool.
-    Returns (next_x [B], out).
+    Returns dict with:
+      E [B, L]      exclusive end of the longest valid match from p
+      k/l/s [B, L]  bi-interval of [p, E(p))
+      (if want_fail) fail_s / fail_k / fail_l / fail_ss [B, L]: whether
+      the sweep retired on an interval-size failure at column E(p), and
+      that failing interval (pass-3 seeds *include* the failing step).
     """
     B, L = codes.shape
-    P = L + 1
     pos_dtype = fmi.pos_dtype
-    bidx = jnp.arange(B)
-    min_intv_p = min_intv.astype(pos_dtype)
+    pcol = jnp.arange(L, dtype=jnp.int32)[None, :]
+    mi = min_intv.astype(pos_dtype)[:, None]
 
-    a0 = codes[bidx, jnp.clip(x, 0, L - 1)]
-    lane_ok = active_in & (x < lens) & (a0 < 4)
-    next_x = x + 1
-
+    a0 = codes
     a0c = jnp.clip(a0, 0, 3)
-    cur_k = fmi.count[a0c]
-    cur_l = fmi.count[3 - a0c]
-    cur_s = fmi.count[a0c + 1] - fmi.count[a0c]
-    cur_m = x
-    cur_n = x
+    k = fmi.count[a0c]
+    l = fmi.count[3 - a0c]
+    s = fmi.count[a0c + 1] - fmi.count[a0c]
+    base_ok = (pcol < lens[:, None]) & (a0 < 4)
+    active = base_ok & (s >= mi) if check_initial else base_ok
+    # Lanes whose single base is already invalid have no match at all.
+    E = jnp.where(active, pcol + 1, pcol)
+    k = jnp.where(active, k, 0)
+    l = jnp.where(active, l, 0)
+    s = jnp.where(active, s, 0)
 
-    prev_k = jnp.zeros((B, P), dtype=pos_dtype)
-    prev_l = jnp.zeros((B, P), dtype=pos_dtype)
-    prev_s = jnp.zeros((B, P), dtype=pos_dtype)
-    prev_m = jnp.zeros((B, P), dtype=jnp.int32)
-    prev_n = jnp.zeros((B, P), dtype=jnp.int32)
-    prev_cnt = jnp.zeros((B,), dtype=jnp.int32)
+    fail_s = jnp.zeros((B, L), dtype=bool)
+    fail_k = jnp.zeros((B, L), dtype=pos_dtype)
+    fail_l = jnp.zeros((B, L), dtype=pos_dtype)
+    fail_ss = jnp.zeros((B, L), dtype=pos_dtype)
 
-    def pappend(bufs, cnt, mask, k, l, s, m, n):
-        pk, pl, ps, pm, pn = bufs
-        idx = jnp.where(mask, cnt, P)
-        return ((pk.at[bidx, idx].set(k, mode="drop"),
-                 pl.at[bidx, idx].set(l, mode="drop"),
-                 ps.at[bidx, idx].set(s, mode="drop"),
-                 pm.at[bidx, idx].set(m, mode="drop"),
-                 pn.at[bidx, idx].set(n, mode="drop")),
-                cnt + mask.astype(jnp.int32))
+    def cond(st):
+        return jnp.any(st[0])
 
-    # ---------------- forward phase ----------------
-    def fwd_cond(st):
-        t, fwd_active, *_ = st
-        return jnp.any(fwd_active) & (t < L)
-
-    def fwd_body(st):
-        (t, fwd_active, ck, cl, cs, cn, bufs, pcnt, nx) = st
-        j = x + t
-        in_bounds = j < lens
-        a = codes[bidx, jnp.clip(j, 0, L - 1)]
-        step = fwd_active & in_bounds
-        nx = jnp.where(step, j + 1, nx)
+    def body(st):
+        (act, t, E, k, l, s, fs, fk, fl, fss) = st
+        j = pcol + t
+        in_range = j < lens[:, None]
+        a = jnp.take_along_axis(codes, jnp.minimum(j, L - 1), axis=1)
         is_n = a >= 4
-        do_ext = step & ~is_n
-        nk, nl, ns = _fwd_ext4(fmi, ck, cl, cs, jnp.clip(a, 0, 3))
-        s_changed = ns != cs
-        bufs, pcnt = pappend(bufs, pcnt, do_ext & s_changed,
-                             ck, cl, cs, x, cn)
-        fail = ns < min_intv_p
-        nx = jnp.where(do_ext & fail, j, nx)
-        keep = do_ext & ~fail
-        ck = jnp.where(keep, nk, ck)
-        cl = jnp.where(keep, nl, cl)
-        cs = jnp.where(keep, ns, cs)
-        cn = jnp.where(keep, j, cn)
-        fwd_active = keep
-        return (t + 1, fwd_active, ck, cl, cs, cn, bufs, pcnt, nx)
+        do = act & in_range & ~is_n
+        nk, nl, ns = _fwd_ext4(fmi, k, l, s, jnp.clip(a, 0, 3))
+        sfail = do & (ns < mi)
+        if stop_min_len > 0:
+            # pass-3 rule: only stop once the seed is long enough
+            # (bwtSeedStrategy's combined hit condition).
+            sfail = sfail & ((j - pcol + 1) >= stop_min_len)
+        keep = do & ~sfail
+        # retire records: E stays at the last valid exclusive end, which
+        # is j for all retirements (s-fail, N, or end-of-read at j).
+        E = jnp.where(keep, j + 1, E)
+        k = jnp.where(keep, nk, k)
+        l = jnp.where(keep, nl, l)
+        s = jnp.where(keep, ns, s)
+        if want_fail:
+            fs = jnp.where(sfail, True, fs)
+            fk = jnp.where(sfail, nk, fk)
+            fl = jnp.where(sfail, nl, fl)
+            fss = jnp.where(sfail, ns, fss)
+        return (keep, t + 1, E, k, l, s, fs, fk, fl, fss)
 
-    init = (jnp.int32(1), lane_ok, cur_k, cur_l, cur_s, cur_n,
-            (prev_k, prev_l, prev_s, prev_m, prev_n), prev_cnt, next_x)
-    (_, _, cur_k, cur_l, cur_s, cur_n,
-     bufs, prev_cnt, next_x) = jax.lax.while_loop(fwd_cond, fwd_body, init)
+    st = (active, jnp.int32(1), E, k, l, s, fail_s, fail_k, fail_l,
+          fail_ss)
+    (_, _, E, k, l, s, fail_s, fail_k, fail_l, fail_ss) = \
+        jax.lax.while_loop(cond, body, st)
+    out = dict(E=E, k=k, l=l, s=s, valid=base_ok)
+    if want_fail:
+        out.update(fail_s=fail_s, fail_k=fail_k, fail_l=fail_l,
+                   fail_ss=fail_ss)
+    return out
 
-    # Final forward append (may duplicate the last entry, matching the
-    # reference's break path — harmless downstream).
-    bufs, prev_cnt = pappend(bufs, prev_cnt,
-                             lane_ok & (cur_s >= min_intv_p),
-                             cur_k, cur_l, cur_s, x, cur_n)
-    prev_k, prev_l, prev_s, prev_m, prev_n = bufs
-    # prev_m was never set per-entry in the forward phase: all entries
-    # share m = x (scatter wrote x already).
 
-    # Physically reverse the valid prefix (longest-first order).
-    ridx = jnp.clip(prev_cnt[:, None] - 1 - jnp.arange(P)[None, :], 0, P - 1)
-    take2 = lambda arrb: jnp.take_along_axis(arrb, ridx, axis=1)
-    prev_k, prev_l, prev_s = take2(prev_k), take2(prev_l), take2(prev_s)
-    prev_m, prev_n = take2(prev_m), take2(prev_n)
+def _emit_compact(mask, cols_m, cols_n, k, l, s, out: SmemBuf,
+                  rows=None):
+    """Scatter all masked lane records into per-read slots at once.
 
-    # ---------------- backward phase ----------------
-    curr_k = jnp.zeros_like(prev_k)
-    curr_l = jnp.zeros_like(prev_l)
-    curr_s = jnp.zeros_like(prev_s)
-    curr_m = jnp.zeros_like(prev_m)
-    curr_n = jnp.zeros_like(prev_n)
-
-    back_active = lane_ok & (prev_cnt > 0)
-
-    def bwd_cond(st):
-        u, back_active, *_ = st
-        return jnp.any(back_active & (x - 1 - u >= 0))
-
-    def bwd_body(st):
-        (u, back_active, pk, pl, ps, pm, pn, pcnt,
-         ck_, cl_, cs_, cm_, cn_, out) = st
-        j = x - 1 - u
-        a = codes[bidx, jnp.clip(j, 0, L - 1)]
-        lane_step = back_active & (j >= 0)
-        nbrk = a > 3
-        work = lane_step & ~nbrk
-
-        # inner scan over prev entries
-        def p_cond(pst):
-            p, *_ = pst
-            return jnp.any(work & (p < pcnt))
-
-        def p_body(pst):
-            (p, phase, csmem, ccnt, ck, cl, cs, cm, cn, out) = pst
-            inloop = work & (p < pcnt)
-            pi = jnp.clip(p, 0, P - 1)
-            sk = pk[bidx, pi]
-            sl = pl[bidx, pi]
-            ss = ps[bidx, pi]
-            sm = pm[bidx, pi]
-            sn = pn[bidx, pi]
-            nk, nl, ns = _bwd_ext4(fmi, sk, sl, ss, jnp.clip(a, 0, 3))
-            s_lt = ns < min_intv_p
-            len_ok = (sn - sm + 1) >= min_seed_len
-            emit = inloop & (phase == 0) & s_lt & len_ok
-            keep = inloop & ~emit & ~s_lt & (ns != csmem)
-            out = out.emit(emit, sm, sn, sk, sl, ss)
-            idx = jnp.where(keep, ccnt, P)
-            ck = ck.at[bidx, idx].set(nk, mode="drop")
-            cl = cl.at[bidx, idx].set(nl, mode="drop")
-            cs = cs.at[bidx, idx].set(ns, mode="drop")
-            cm = cm.at[bidx, idx].set(j, mode="drop")
-            cn = cn.at[bidx, idx].set(sn, mode="drop")
-            ccnt = ccnt + keep.astype(jnp.int32)
-            csmem = jnp.where(keep, ns, csmem)
-            phase = jnp.where(emit | ((phase == 0) & keep), 1, phase)
-            return (p + 1, phase, csmem, ccnt, ck, cl, cs, cm, cn, out)
-
-        pst0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
-                jnp.full((B,), -1, dtype=pos_dtype),
-                jnp.zeros((B,), jnp.int32),
-                ck_, cl_, cs_, cm_, cn_, out)
-        (_, _, _, ccnt, ck, cl, cs, cm, cn, out) = jax.lax.while_loop(
-            p_cond, p_body, pst0)
-
-        # swap prev <- curr for worked lanes
-        w2 = work[:, None]
-        pk = jnp.where(w2, ck, pk)
-        pl = jnp.where(w2, cl, pl)
-        ps = jnp.where(w2, cs, ps)
-        pm = jnp.where(w2, cm, pm)
-        pn = jnp.where(w2, cn, pn)
-        pcnt = jnp.where(work, ccnt, pcnt)
-        back_active = back_active & ~nbrk & jnp.where(work, ccnt > 0, True)
-        return (u + 1, back_active, pk, pl, ps, pm, pn, pcnt,
-                ck, cl, cs, cm, cn, out)
-
-    st0 = (jnp.int32(0), back_active, prev_k, prev_l, prev_s, prev_m,
-           prev_n, prev_cnt, curr_k, curr_l, curr_s, curr_m, curr_n, out)
-    (_, _, prev_k, prev_l, prev_s, prev_m, prev_n, prev_cnt,
-     *_rest, out) = jax.lax.while_loop(bwd_cond, bwd_body, st0)
-
-    # Final emission of the longest surviving backward extension.
-    fin = lane_ok & (prev_cnt > 0)
-    f_m = prev_m[:, 0]
-    f_n = prev_n[:, 0]
-    fin = fin & ((f_n - f_m + 1) >= min_seed_len)
-    out = out.emit(fin, f_m, f_n, prev_k[:, 0], prev_l[:, 0], prev_s[:, 0])
-    return next_x, out
+    mask/values [B, L] (or [T, L] with rows = task->read). Slot index =
+    running count + within-row rank, in column order.
+    """
+    B, M = out.m.shape
+    T, L = mask.shape
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
+    if rows is None:
+        row_idx = jnp.arange(T)[:, None] * jnp.ones((1, L), jnp.int32)
+        base = out.cnt[:, None]
+        counts_add = mask.sum(axis=1).astype(jnp.int32)
+        new_cnt = out.cnt + counts_add
+    else:
+        # Tasks are sorted by read; give each task a base offset equal
+        # to the emissions of earlier tasks of the same read.
+        row_idx = rows[:, None] * jnp.ones((1, L), jnp.int32)
+        counts_t = mask.sum(axis=1).astype(jnp.int32)
+        csum_ex = jnp.cumsum(counts_t) - counts_t
+        first_csum = jnp.full((B,), jnp.int32(1 << 30)).at[rows].min(
+            csum_ex)
+        base = (out.cnt[rows] + csum_ex - first_csum[rows])[:, None]
+        counts_add = jnp.zeros((B,), jnp.int32).at[rows].add(counts_t)
+        new_cnt = out.cnt + counts_add
+    col = jnp.where(mask, base + rank, M)
+    col = jnp.minimum(col, M)  # overflow rows drop
+    return SmemBuf(
+        out.m.at[row_idx, col].set(cols_m, mode="drop"),
+        out.n.at[row_idx, col].set(cols_n, mode="drop"),
+        out.k.at[row_idx, col].set(k, mode="drop"),
+        out.l.at[row_idx, col].set(l, mode="drop"),
+        out.s.at[row_idx, col].set(s, mode="drop"),
+        new_cnt,
+    )
 
 
 def smems_all_pos(fmi: DeviceFMIndex, codes, lens, min_intv,
-                  min_seed_len: int, max_out: int):
-    """Pass 1: all-position SMEM search for a batch. Returns SmemBuf."""
+                  min_seed_len: int, max_out: int) -> SmemBuf:
+    """Pass 1: all SMEMs of every read, in one parallel sweep."""
     B, L = codes.shape
+    ext = extend_all_positions(fmi, codes, lens, min_intv,
+                               check_initial=True, want_fail=False)
+    E = ext["E"]
+    pcol = jnp.arange(L, dtype=jnp.int32)[None, :]
+    E_prev = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), E[:, :-1]], axis=1)
+    left_max = (pcol == 0) | (E_prev < E)
+    mask = left_max & ((E - pcol) >= min_seed_len)
     out = SmemBuf.empty(B, max_out, fmi.pos_dtype)
-    x0 = jnp.zeros((B,), dtype=jnp.int32)
-
-    def cond(st):
-        x, out = st
-        return jnp.any(x < lens)
-
-    def body(st):
-        x, out = st
-        next_x, out = _one_pos(fmi, codes, lens, x, min_intv,
-                               x < lens, min_seed_len, out)
-        return next_x, out
-
-    _, out = jax.lax.while_loop(cond, body, (x0, out))
-    return out
+    return _emit_compact(mask, pcol * jnp.ones((B, 1), jnp.int32),
+                         E - 1, ext["k"], ext["l"], ext["s"], out)
 
 
 def smems_reseed(fmi: DeviceFMIndex, codes, lens, pass1: SmemBuf,
                  split_len: int, split_width: int, min_seed_len: int,
-                 max_out: int):
-    """Pass 2: re-seed at midpoints of long low-occ pass-1 SMEMs."""
+                 max_out: int, max_tasks: int = 0):
+    """Pass 2: re-seed at midpoints of long low-occ pass-1 SMEMs.
+
+    Each qualifying SMEM becomes a (read, x, min_intv=s+1) task; tasks
+    are compacted across the batch and run through the same parallel
+    sweep, emitting the valid-maximal matches covering x.
+    """
     B, L = codes.shape
-    out = SmemBuf.empty(B, max_out, fmi.pos_dtype)
     M1 = pass1.m.shape[1]
+    T = max_tasks or B
     valid = jnp.arange(M1)[None, :] < pass1.cnt[:, None]
     cand = (valid
             & ((pass1.n + 1 - pass1.m) >= split_len)
             & (pass1.s <= split_width))
-    n_cand = cand.sum(axis=1).astype(jnp.int32)
-    csum = jnp.cumsum(cand.astype(jnp.int32), axis=1)
-    bidx = jnp.arange(B)
+    flat = cand.reshape(B * M1)
+    flat_idx = jnp.arange(B * M1, dtype=jnp.int32)
+    key = jnp.where(flat, flat_idx, jnp.int32(1 << 30))
+    order = jnp.argsort(key)[:T]
+    t_valid = jnp.take(key, order) < (1 << 30)
+    overflow = flat.sum() > T
+    t_read = (order // M1).astype(jnp.int32)
+    t_slot = order % M1
+    t_m = pass1.m[t_read, t_slot]
+    t_n = pass1.n[t_read, t_slot]
+    t_s = pass1.s[t_read, t_slot]
+    t_x = ((t_n + 1 + t_m) >> 1).astype(jnp.int32)
+    t_min_intv = jnp.where(t_valid, t_s + 1, jnp.asarray(1, t_s.dtype))
 
-    def cond(st):
-        t, out = st
-        return jnp.any(t < n_cand)
+    codes_t = jnp.where(t_valid[:, None], codes[t_read],
+                        jnp.int32(4))
+    lens_t = jnp.where(t_valid, lens[t_read], 0)
 
-    def body(st):
-        t, out = st
-        has = t < n_cand
-        # index of the t-th candidate per lane
-        sel = jnp.argmax((csum == (t + 1)[:, None]) & cand, axis=1)
-        m = pass1.m[bidx, sel]
-        n = pass1.n[bidx, sel]
-        s = pass1.s[bidx, sel]
-        x = ((n + 1 + m) >> 1).astype(jnp.int32)
-        min_intv = (s + 1).astype(jnp.int32)
-        _, out = _one_pos(fmi, codes, lens, x, min_intv, has,
-                          min_seed_len, out)
-        return t + 1, out
-
-    _, out = jax.lax.while_loop(cond, body, (jnp.zeros((B,), jnp.int32), out))
-    return out
+    ext = extend_all_positions(fmi, codes_t, lens_t,
+                               t_min_intv.astype(jnp.int32),
+                               check_initial=True, want_fail=False)
+    E = ext["E"]
+    pcol = jnp.arange(L, dtype=jnp.int32)[None, :]
+    E_prev = jnp.concatenate(
+        [jnp.zeros((T, 1), jnp.int32), E[:, :-1]], axis=1)
+    left_max = (pcol == 0) | (E_prev < E)
+    mask = (t_valid[:, None] & left_max
+            & (pcol <= t_x[:, None]) & (E > t_x[:, None])
+            & ((E - pcol) >= min_seed_len))
+    out = SmemBuf.empty(B, max_out, fmi.pos_dtype)
+    out = _emit_compact(mask, pcol * jnp.ones((T, 1), jnp.int32),
+                        E - 1, ext["k"], ext["l"], ext["s"], out,
+                        rows=t_read)
+    return out, overflow
 
 
 def smems_seed_strategy(fmi: DeviceFMIndex, codes, lens, max_intv: int,
-                        min_seed_len: int, max_out: int):
-    """Pass 3: forward-only scan emitting the first sub-max_intv seed
-    (bwtSeedStrategyAllPosOneThread)."""
+                        min_seed_len: int, max_out: int) -> SmemBuf:
+    """Pass 3: restart-chain seed strategy. The per-position sweep
+    precomputes every start's outcome; an O(L) chase replays the
+    reference's next_x chain (bwtSeedStrategyAllPosOneThread)."""
     B, L = codes.shape
-    pos_dtype = fmi.pos_dtype
-    out = SmemBuf.empty(B, max_out, pos_dtype)
+    mi = jnp.full((B,), max_intv, dtype=jnp.int32)
+    ext = extend_all_positions(fmi, codes, lens, mi,
+                               check_initial=False, want_fail=True,
+                               stop_min_len=min_seed_len)
+    E = ext["E"]
+    pcol = jnp.arange(L, dtype=jnp.int32)[None, :]
+    in_read = pcol < lens[:, None]
+    start_ok = in_read & (codes < 4)
+    # Emission at the failing step j = E(p): seed [p, E(p)] inclusive.
+    emit = (start_ok & ext["fail_s"] & (ext["fail_ss"] > 0)
+            & ((E - pcol + 1) >= min_seed_len))
+    # next_x chain: s-fail or N-stop at j -> j + 1; end-of-read -> len;
+    # invalid start -> p + 1.
+    hit_n = start_ok & ~ext["fail_s"] & (E < lens[:, None])
+    nxt = jnp.where(start_ok & (ext["fail_s"] | hit_n), E + 1,
+                    jnp.where(start_ok, lens[:, None], pcol + 1))
+    nxt = jnp.maximum(nxt, pcol + 1)
+
+    out = SmemBuf.empty(B, max_out, fmi.pos_dtype)
     bidx = jnp.arange(B)
-    max_intv_p = jnp.asarray(max_intv, dtype=pos_dtype)
 
-    def outer_cond(st):
-        x, out = st
-        return jnp.any(x < lens)
+    def body(t, st):
+        pos, out = st
+        act = pos < lens
+        pc = jnp.minimum(pos, L - 1)
+        em = act & emit[bidx, pc]
+        out = out.emit(em, pos, E[bidx, pc],
+                       ext["fail_k"][bidx, pc],
+                       ext["fail_l"][bidx, pc],
+                       ext["fail_ss"][bidx, pc])
+        pos = jnp.where(act, nxt[bidx, pc], pos)
+        return pos, out
 
-    def outer_body(st):
-        x, out = st
-        a0 = codes[bidx, jnp.clip(x, 0, L - 1)]
-        lane_ok = (x < lens) & (a0 < 4)
-        next_x = x + 1
-        a0c = jnp.clip(a0, 0, 3)
-        ck = fmi.count[a0c]
-        cl = fmi.count[3 - a0c]
-        cs = fmi.count[a0c + 1] - fmi.count[a0c]
-        cm = x
-
-        def in_cond(ist):
-            t, active, *_ = ist
-            return jnp.any(active) & (t < L)
-
-        def in_body(ist):
-            (t, active, ck, cl, cs, nx, out) = ist
-            j = x + t
-            in_bounds = j < lens
-            a = codes[bidx, jnp.clip(j, 0, L - 1)]
-            step = active & in_bounds
-            nx = jnp.where(step, j + 1, nx)
-            do_ext = step & (a < 4)
-            nk, nl, ns = _fwd_ext4(fmi, ck, cl, cs, jnp.clip(a, 0, 3))
-            ck = jnp.where(do_ext, nk, ck)
-            cl = jnp.where(do_ext, nl, cl)
-            cs = jnp.where(do_ext, ns, cs)
-            hit = do_ext & (ns < max_intv_p) & ((j - cm + 1) >= min_seed_len)
-            out = out.emit(hit & (ns > 0), cm, j, nk, nl, ns)
-            active = do_ext & ~hit
-            return (t + 1, active, ck, cl, cs, nx, out)
-
-        ist0 = (jnp.int32(1), lane_ok, ck, cl, cs, next_x, out)
-        (_, _, _, _, _, next_x, out) = jax.lax.while_loop(
-            in_cond, in_body, ist0)
-        return next_x, out
-
-    x0 = jnp.zeros((B,), dtype=jnp.int32)
-    _, out = jax.lax.while_loop(outer_cond, outer_body, (x0, out))
+    pos0 = jnp.zeros((B,), dtype=jnp.int32)
+    _, out = jax.lax.fori_loop(0, L, body, (pos0, out))
     return out
 
 
-def sort_smems(bufs: SmemBuf) -> SmemBuf:
-    """Sort each read's SMEMs by (m, n) ascending; invalid entries last."""
-    B, M = bufs.m.shape
-    valid = jnp.arange(M)[None, :] < bufs.cnt[:, None]
-    key = (bufs.m.astype(jnp.int64) << 32) | bufs.n.astype(jnp.int64)
-    key = jnp.where(valid, key, jnp.int64(2 ** 62))
-    order = jnp.argsort(key, axis=1)
-    take = lambda arr: jnp.take_along_axis(arr, order, axis=1)
-    return SmemBuf(take(bufs.m), take(bufs.n), take(bufs.k),
-                   take(bufs.l), take(bufs.s), bufs.cnt)
-
-
 def concat_smems(*bufs: SmemBuf) -> SmemBuf:
-    """Concatenate SMEM buffers; each buffer's valid prefix is compacted
-    by the final sort (invalid rows get the max key)."""
     return SmemBuf(
         jnp.concatenate([b.m for b in bufs], axis=1),
         jnp.concatenate([b.n for b in bufs], axis=1),
@@ -398,31 +320,22 @@ def collect_smems_device(fmi: DeviceFMIndex, codes, lens, *,
                          min_seed_len: int, split_len: int,
                          split_width: int, max_mem_intv: int,
                          max_out: int = None):
-    """All three seeding passes + (m, n) sort. codes [B, L] int32.
-
-    Returns a sorted SmemBuf whose valid entries mirror the reference's
-    matchArray after mem_collect_smem.
-    """
+    """All three seeding passes + final (m, n) sort
+    (mem_collect_smem, src/bwamem.cpp:648-795)."""
     B, L = codes.shape
     M = max_out or L
     ones = jnp.ones((B,), dtype=jnp.int32)
     p1 = smems_all_pos(fmi, codes, lens, ones, min_seed_len, M)
-    p2 = smems_reseed(fmi, codes, lens, p1, split_len, split_width,
-                      min_seed_len, M)
+    p2, _overflow = smems_reseed(fmi, codes, lens, p1, split_len,
+                                 split_width, min_seed_len, M)
+    parts = [p1, p2]
     if max_mem_intv > 0:
-        p3 = smems_seed_strategy(fmi, codes, lens, max_mem_intv,
-                                 min_seed_len + 1, M)
-        combined = concat_smems(p1, p2, p3)
-    else:
-        combined = concat_smems(p1, p2)
-    # Invalid rows must sort last: mark them via cnt-aware sort. Each
-    # sub-buffer's invalid entries need the max key, so rebuild validity
-    # from the sub-buffer counts before sorting.
-    M1 = p1.m.shape[1]
+        parts.append(smems_seed_strategy(fmi, codes, lens, max_mem_intv,
+                                         min_seed_len + 1, M))
+    combined = concat_smems(*parts)
     valid = jnp.concatenate(
         [jnp.arange(b.m.shape[1])[None, :] < b.cnt[:, None]
-         for b in ((p1, p2, p3) if max_mem_intv > 0 else (p1, p2))],
-        axis=1)
+         for b in parts], axis=1)
     key = ((combined.m.astype(jnp.int64) << 32)
            | combined.n.astype(jnp.int64))
     key = jnp.where(valid, key, jnp.int64(2 ** 62))

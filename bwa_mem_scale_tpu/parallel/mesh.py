@@ -42,8 +42,19 @@ def sharded_align_fn(mesh: Mesh, opt: MemOptions, cfg: PipelineConfig,
     """
     core = partial(seed_chain_extend, L=L, opt=opt, cfg=cfg)
 
+    def local_step(fmi, dbns, codes, lens):
+        out = core(fmi, dbns, codes, lens)
+        # pair-space read indices are shard-local; globalize them.
+        shard = jax.lax.axis_index(axis)
+        out["read"] = jnp.where(
+            out["valid"], out["read"] + shard * codes.shape[0], -1)
+        # scalars must grow a shard axis to concatenate over the mesh
+        out = {k: (v[None] if v.ndim == 0 else v)
+               for k, v in out.items()}
+        return out
+
     fn = jax.shard_map(
-        core, mesh=mesh,
+        local_step, mesh=mesh,
         in_specs=(P(), P(), P(axis, None), P(axis)),
         out_specs=P(axis),
         check_vma=False,

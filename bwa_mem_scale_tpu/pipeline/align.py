@@ -65,7 +65,8 @@ class PipelineConfig:
     max_coords: int = 512                # SA coordinates per read
     max_chains: int = 64
     max_seeds_per_chain: int = 32
-    max_regs: int = 64                   # extension pairs per read
+    max_regs: int = 64                   # extension candidates per read
+    max_pairs: int = 4096                # extension pairs per batch
     target_pad: int = 8
 
 
@@ -180,87 +181,97 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
     rm0 = rmax0[bidx[:, None], sel_slot]               # [B, R]
     rm1 = rmax1[bidx[:, None], sel_slot]
 
-    # ---- build extension pair sequences ----
-    TL = L + 2 * w_ + cfg.target_pad
-    g_rbeg64 = g_rbeg.astype(jnp.int64)
-    g_len64 = g_len.astype(jnp.int64)
-    lensB = lens.astype(jnp.int32)[:, None]
+    # ---- compact candidates to pair space ----
+    # Only real candidates get sequence buffers and DP lanes; results
+    # come back in (read, processing-rank) order for the host.
+    PX = cfg.max_pairs
+    flatv = sel_valid.reshape(B * R)
+    fidx = jnp.arange(B * R, dtype=jnp.int32)
+    pkey = jnp.where(flatv, fidx, jnp.int32(1 << 30))
+    pidx = jnp.argsort(pkey)[:PX].astype(jnp.int32)
+    p_valid = jnp.take(pkey, pidx) < (1 << 30)
+    pair_overflow = flatv.sum() > PX
+    p_read = pidx // R
 
-    t_iota = jnp.arange(TL, dtype=jnp.int64)[None, None, :]
-    q_iota = jnp.arange(L, dtype=jnp.int32)[None, None, :]
+    def topair(x):
+        return jnp.take(x.reshape(B * R), pidx)
+
+    p_qbeg = topair(g_qbeg)
+    p_rbeg = topair(g_rbeg).astype(jnp.int64)
+    p_len = topair(g_len)
+    p_rid = topair(g_rid)
+    p_slot = topair(sel_slot)
+    p_rm0 = topair(rm0)
+    p_rm1 = topair(rm1)
+    p_lens = jnp.where(p_valid, lens[p_read], 0).astype(jnp.int32)
+
+    # ---- build extension pair sequences [PX, ...] ----
+    TL = L + 2 * w_ + cfg.target_pad
+    t_iota = jnp.arange(TL, dtype=jnp.int64)[None, :]
+    q_iota = jnp.arange(L, dtype=jnp.int32)[None, :]
+    p_codes = codes[p_read]                            # [PX, L]
 
     # left: query reversed prefix, target reversed ref[rm0:rbeg]
-    ql_len = jnp.where(sel_valid, g_qbeg, 0)
+    ql_len = jnp.where(p_valid, p_qbeg, 0)
     q_l = jnp.take_along_axis(
-        codes[:, None, :],
-        jnp.clip(g_qbeg[:, :, None] - 1 - q_iota, 0, L - 1), axis=2)
-    tl_len = jnp.where(sel_valid, (g_rbeg64 - rm0), 0).astype(jnp.int32)
-    t_l_idx = jnp.clip(g_rbeg64[:, :, None] - 1 - t_iota, 0,
-                       l_pac2 - 1)
-    t_l = fmi.ref[t_l_idx].astype(jnp.int32)
+        p_codes, jnp.clip(p_qbeg[:, None] - 1 - q_iota, 0, L - 1),
+        axis=1)
+    tl_len = jnp.where(p_valid, p_rbeg - p_rm0, 0).astype(jnp.int32)
+    t_l = fmi.ref[jnp.clip(p_rbeg[:, None] - 1 - t_iota, 0,
+                           l_pac2 - 1)].astype(jnp.int32)
 
     # right: query suffix from qe, target ref[rbeg+len : rm1]
-    g_qe = g_qbeg + g_len
-    qr_len = jnp.where(sel_valid, lensB - g_qe, 0)
+    p_qe = p_qbeg + p_len
+    qr_len = jnp.where(p_valid, p_lens - p_qe, 0)
     q_r = jnp.take_along_axis(
-        codes[:, None, :],
-        jnp.clip(g_qe[:, :, None] + q_iota, 0, L - 1), axis=2)
-    re0 = g_rbeg64 + g_len64
-    tr_len = jnp.where(sel_valid, rm1 - re0, 0).astype(jnp.int32)
-    t_r_idx = jnp.clip(re0[:, :, None] + t_iota, 0, l_pac2 - 1)
-    t_r = fmi.ref[t_r_idx].astype(jnp.int32)
+        p_codes, jnp.clip(p_qe[:, None] + q_iota, 0, L - 1), axis=1)
+    re0 = p_rbeg + p_len.astype(jnp.int64)
+    tr_len = jnp.where(p_valid, p_rm1 - re0, 0).astype(jnp.int32)
+    t_r = fmi.ref[jnp.clip(re0[:, None] + t_iota, 0,
+                           l_pac2 - 1)].astype(jnp.int32)
 
-    do_left = sel_valid & (g_qbeg > 0)
-    do_right = sel_valid & (g_qe < lensB)
-
-    def flat(x):
-        return x.reshape((B * R,) + x.shape[2:])
-
-    h0_l = (g_len * a_).astype(jnp.int32)
+    do_left = p_valid & (p_qbeg > 0)
+    do_right = p_valid & (p_qe < p_lens)
+    h0_l = (p_len * a_).astype(jnp.int32)
 
     def run_bsw(q, qlen, t, tlen, h0, wv):
         return banded_swa_batch(
-            flat(q).astype(jnp.int32), flat(qlen), flat(t), flat(tlen),
-            flat(h0), wv, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+            q.astype(jnp.int32), qlen, t, tlen, h0, wv,
+            opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
             opt.zdrop, opt.mat)
-
-    # ---- left extension with band-doubling retry ----
-    ql_l = jnp.where(do_left, ql_len, 0)
-    tl_l = jnp.where(do_left, tl_len, 0)
-    resL1 = run_bsw(q_l, ql_l, t_l, tl_l, h0_l, w_)
-    acc1 = (resL1.max_off.reshape(B, R) < ((w_ >> 1) + (w_ >> 2)))
-    need2 = do_left & ~acc1
-    tl_l2 = jnp.where(need2, tl_len, 0)
-    resL2 = run_bsw(q_l, jnp.where(need2, ql_len, 0), t_l, tl_l2,
-                    h0_l, w_ << 1)
 
     def pick(r1, r2, which2):
         return jax.tree_util.tree_map(
-            lambda x1, x2: jnp.where(which2, x2.reshape(B, R),
-                                     x1.reshape(B, R)), r1, r2)
+            lambda x1, x2: jnp.where(which2, x2, x1), r1, r2)
 
+    # ---- left extension with band-doubling retry ----
+    resL1 = run_bsw(q_l, jnp.where(do_left, ql_len, 0),
+                    t_l, jnp.where(do_left, tl_len, 0), h0_l, w_)
+    acc1 = resL1.max_off < ((w_ >> 1) + (w_ >> 2))
+    need2 = do_left & ~acc1
+    resL2 = run_bsw(q_l, jnp.where(need2, ql_len, 0), t_l,
+                    jnp.where(need2, tl_len, 0), h0_l, w_ << 1)
     resL = pick(resL1, resL2, need2)
     wL = jnp.where(need2, w_ << 1, w_)
 
-    score_l = jnp.where(do_left, resL.score, g_len * a_)
+    score_l = jnp.where(do_left, resL.score, p_len * a_)
     gs_ok_l = (resL.gscore <= 0) | (resL.gscore
                                     <= score_l - opt.pen_clip5)
     qb = jnp.where(do_left,
-                   jnp.where(gs_ok_l, g_qbeg - resL.qle, 0), 0)
+                   jnp.where(gs_ok_l, p_qbeg - resL.qle, 0), 0)
     rb = jnp.where(do_left,
-                   jnp.where(gs_ok_l, g_rbeg64 - resL.tle,
-                             g_rbeg64 - resL.gtle), g_rbeg64)
+                   jnp.where(gs_ok_l, p_rbeg - resL.tle,
+                             p_rbeg - resL.gtle), p_rbeg)
     truesc = jnp.where(do_left,
                        jnp.where(gs_ok_l, score_l, resL.gscore),
-                       g_len * a_)
+                       p_len * a_)
     a_w = jnp.where(do_left, jnp.maximum(w_, wL), w_)
 
     # ---- right extension (h0 = left score) ----
-    qr_l = jnp.where(do_right, qr_len, 0)
-    tr_l = jnp.where(do_right, tr_len, 0)
-    resR1 = run_bsw(q_r, qr_l, t_r, tr_l, score_l, w_)
-    accR1 = ((resR1.score.reshape(B, R) == score_l)
-             | (resR1.max_off.reshape(B, R) < ((w_ >> 1) + (w_ >> 2))))
+    resR1 = run_bsw(q_r, jnp.where(do_right, qr_len, 0), t_r,
+                    jnp.where(do_right, tr_len, 0), score_l, w_)
+    accR1 = ((resR1.score == score_l)
+             | (resR1.max_off < ((w_ >> 1) + (w_ >> 2))))
     needR2 = do_right & ~accR1
     resR2 = run_bsw(q_r, jnp.where(needR2, qr_len, 0), t_r,
                     jnp.where(needR2, tr_len, 0), score_l, w_ << 1)
@@ -271,8 +282,8 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
     gs_ok_r = (resR.gscore <= 0) | (resR.gscore
                                     <= score_f - opt.pen_clip3)
     qe_f = jnp.where(do_right,
-                     jnp.where(gs_ok_r, g_qe + resR.qle, lensB),
-                     lensB)
+                     jnp.where(gs_ok_r, p_qe + resR.qle, p_lens),
+                     p_lens)
     re_f = jnp.where(do_right,
                      re0 + jnp.where(gs_ok_r, resR.tle,
                                      resR.gtle).astype(jnp.int64),
@@ -282,25 +293,25 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
         jnp.where(gs_ok_r, score_f, resR.gscore) - score_l, 0)
     a_w = jnp.where(do_right, jnp.maximum(a_w, wR), a_w)
 
-    # ---- seed coverage over the final region ----
-    ch_q = ch.seed_qbeg[bidx[:, None], sel_slot]       # [B, R, S]
-    ch_r = ch.seed_rbeg[bidx[:, None], sel_slot].astype(jnp.int64)
-    ch_l = ch.seed_len[bidx[:, None], sel_slot]
-    ch_v = jnp.arange(S)[None, None, :] < ch.n_seeds[
-        bidx[:, None], sel_slot][:, :, None]
+    # ---- seed coverage over the final region (pair space) ----
+    ch_q = ch.seed_qbeg[p_read, p_slot]                # [PX, S]
+    ch_r = ch.seed_rbeg[p_read, p_slot].astype(jnp.int64)
+    ch_l = ch.seed_len[p_read, p_slot]
+    ch_v = jnp.arange(S)[None, :] < ch.n_seeds[p_read, p_slot][:, None]
     inside = (ch_v
-              & (ch_q >= qb[:, :, None])
-              & (ch_q + ch_l <= qe_f[:, :, None])
-              & (ch_r >= rb[:, :, None])
-              & (ch_r + ch_l <= re_f[:, :, None]))
-    seedcov = jnp.sum(jnp.where(inside, ch_l, 0), axis=2)
+              & (ch_q >= qb[:, None])
+              & (ch_q + ch_l <= qe_f[:, None])
+              & (ch_r >= rb[:, None])
+              & (ch_r + ch_l <= re_f[:, None]))
+    seedcov = jnp.sum(jnp.where(inside, ch_l, 0), axis=1)
 
     return dict(
-        valid=sel_valid, qb=qb, qe=qe_f, rb=rb, re=re_f,
+        valid=p_valid, read=p_read, qb=qb, qe=qe_f, rb=rb, re=re_f,
         score=score_f, truesc=truesc, w=a_w, seedcov=seedcov,
-        rid=g_rid, seedlen0=g_len, frac_rep=frac_rep,
+        rid=p_rid, seedlen0=p_len, frac_rep=frac_rep,
         smem_cnt=bufs.cnt, coord_total=total,
         chain_overflow=ch.overflow, reg_overflow=reg_overflow,
+        pair_overflow=pair_overflow,
     )
 
 
@@ -340,29 +351,27 @@ class TpuAligner:
                                jnp.asarray(lens, dtype=jnp.int32), L=L)
         out = {k: np.asarray(v) for k, v in out.items()}
         is_alt = self.idx.bns.is_alt
+        B = codes.shape[0]
 
-        all_regs: List[List[AlnReg]] = []
-        B, R = out["valid"].shape
-        for i in range(B):
-            regs = []
-            for j in range(R):
-                if not out["valid"][i, j]:
-                    continue
-                a = AlnReg(
-                    rb=int(out["rb"][i, j]), re=int(out["re"][i, j]),
-                    qb=int(out["qb"][i, j]), qe=int(out["qe"][i, j]),
-                    rid=int(out["rid"][i, j]),
-                    score=int(out["score"][i, j]),
-                    truesc=int(out["truesc"][i, j]),
-                    w=int(out["w"][i, j]),
-                    seedcov=int(out["seedcov"][i, j]),
-                    seedlen0=int(out["seedlen0"][i, j]),
-                    frac_rep=float(out["frac_rep"][i]),
-                    is_alt=bool(is_alt[int(out["rid"][i, j])]),
-                )
-                if a.qe > a.qb:
-                    regs.append(a)
-            all_regs.append(regs)
+        all_regs: List[List[AlnReg]] = [[] for _ in range(B)]
+        # Pairs come back compacted in (read, processing-rank) order.
+        n_valid = int(out["valid"].sum())
+        for j in range(n_valid):
+            i = int(out["read"][j])
+            a = AlnReg(
+                rb=int(out["rb"][j]), re=int(out["re"][j]),
+                qb=int(out["qb"][j]), qe=int(out["qe"][j]),
+                rid=int(out["rid"][j]),
+                score=int(out["score"][j]),
+                truesc=int(out["truesc"][j]),
+                w=int(out["w"][j]),
+                seedcov=int(out["seedcov"][j]),
+                seedlen0=int(out["seedlen0"][j]),
+                frac_rep=float(out["frac_rep"][i]),
+                is_alt=bool(is_alt[int(out["rid"][j])]),
+            )
+            if a.qe > a.qb:
+                all_regs[i].append(a)
         return all_regs
 
     def align_and_finalize(self, codes: np.ndarray, lens: np.ndarray,
