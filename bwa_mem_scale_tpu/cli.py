@@ -103,7 +103,11 @@ def cmd_mem(argv):
 
     with PROFILER.phase("index_load"):
         idx = load_index(args.prefix)
-        aligner = TpuAligner(idx, opt)
+        fma = find_fma(args.prefix)
+        if fma is not None:
+            print(f"* FMA ladder table loaded (K={fma.K})",
+                  file=sys.stderr)
+        aligner = TpuAligner(idx, opt, fma=fma)
 
     out = sys.stdout if args.output == "-" else open(args.output, "w")
     rg_id = None
@@ -127,14 +131,35 @@ def cmd_mem(argv):
 def cmd_smem_table(argv):
     p = argparse.ArgumentParser(prog="bwa-mem-scale-tpu smem-table")
     p.add_argument("prefix")
+    p.add_argument("-k", dest="kmer", type=int, default=None,
+                   help="ladder k-mer length (default 11, the "
+                        "reference's ALL_SMEM_MAX_BP)")
     args = p.parse_args(argv)
     from .index.artifacts import load_index
-    from .index.accel import build_smem_tables, save_smem_tables
+    from .ops.occ import DeviceFMIndex
+    from .ops.fma import build_fma_table, save_fma, DEFAULT_FMA_K
     idx = load_index(args.prefix)
-    tables = build_smem_tables(idx)
-    path = save_smem_tables(tables, args.prefix)
-    print(f"* wrote {path}", file=sys.stderr)
+    fmi = DeviceFMIndex.from_host(idx)
+    t0 = time.time()
+    fma = build_fma_table(fmi, K=args.kmer or DEFAULT_FMA_K)
+    path = save_fma(fma, args.prefix)
+    print(f"* wrote {path} in {time.time() - t0:.1f}s", file=sys.stderr)
     return 0
+
+
+def find_fma(prefix: str):
+    """Auto-load the FMA ladder table artifact next to the index, if
+    built (the reference auto-loads .all_smem.* when SMEM_ACCEL is on,
+    src/FMI_search.cpp:394-411)."""
+    import glob
+    from .ops.fma import load_fma
+    for path in sorted(glob.glob(f"{prefix}.fma*.npz"), reverse=True):
+        try:
+            return load_fma(path)
+        except Exception as e:
+            print(f"* WARNING: ignoring unreadable FMA table {path}: "
+                  f"{e}", file=sys.stderr)
+    return None
 
 
 def cmd_perfect_index(argv):

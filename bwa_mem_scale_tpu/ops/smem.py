@@ -76,7 +76,7 @@ def _fwd_ext4(fmi, k, l, s, a):
 
 def extend_all_positions(fmi: DeviceFMIndex, codes, lens, min_intv,
                          check_initial: bool, want_fail: bool,
-                         stop_min_len: int = 0):
+                         stop_min_len: int = 0, fma=None):
     """Forward-extend from every start position of every read at once.
 
     codes [B, L] int32, lens [B], min_intv [B] (per read/task).
@@ -94,19 +94,34 @@ def extend_all_positions(fmi: DeviceFMIndex, codes, lens, min_intv,
     pos_dtype = fmi.pos_dtype
     pcol = jnp.arange(L, dtype=jnp.int32)[None, :]
     mi = min_intv.astype(pos_dtype)[:, None]
+    base_ok = (pcol < lens[:, None]) & (codes < 4)
 
-    a0 = codes
-    a0c = jnp.clip(a0, 0, 3)
-    k = fmi.count[a0c]
-    l = fmi.count[3 - a0c]
-    s = fmi.count[a0c + 1] - fmi.count[a0c]
-    base_ok = (pcol < lens[:, None]) & (a0 < 4)
-    active = base_ok & (s >= mi) if check_initial else base_ok
-    # Lanes whose single base is already invalid have no match at all.
-    E = jnp.where(active, pcol + 1, pcol)
-    k = jnp.where(active, k, 0)
-    l = jnp.where(active, l, 0)
-    s = jnp.where(active, s, 0)
+    # FMA fast path: resolve the first K_eff steps from the ladder
+    # table (ops/fma.py; the reference's smem-table short-cut,
+    # src/FMI_search.cpp:1414-1463). K_eff must stay below the pass-3
+    # stop length so no stop/fail can fire inside the window.
+    K_eff = 0
+    if fma is not None:
+        K_eff = fma.K if stop_min_len <= 0 else min(fma.K,
+                                                    stop_min_len - 1)
+    if K_eff >= 2:
+        from .fma import fast_forward
+        E, k, l, s, active = fast_forward(fmi, fma, codes, lens, mi,
+                                          check_initial, K_eff)
+        off = K_eff - 1
+    else:
+        K_eff = 0
+        off = 0
+        a0c = jnp.clip(codes, 0, 3)
+        k = fmi.count[a0c]
+        l = fmi.count[3 - a0c]
+        s = fmi.count[a0c + 1] - fmi.count[a0c]
+        active = base_ok & (s >= mi) if check_initial else base_ok
+        # Lanes whose single base is already invalid have no match.
+        E = jnp.where(active, pcol + 1, pcol)
+        k = jnp.where(active, k, 0)
+        l = jnp.where(active, l, 0)
+        s = jnp.where(active, s, 0)
 
     fail_s = jnp.zeros((B, L), dtype=bool)
     fail_k = jnp.zeros((B, L), dtype=pos_dtype)
@@ -118,7 +133,7 @@ def extend_all_positions(fmi: DeviceFMIndex, codes, lens, min_intv,
 
     def body(st):
         (act, t, E, k, l, s, fs, fk, fl, fss) = st
-        j = pcol + t
+        j = pcol + off + t
         in_range = j < lens[:, None]
         a = jnp.take_along_axis(codes, jnp.minimum(j, L - 1), axis=1)
         is_n = a >= 4
@@ -193,11 +208,12 @@ def _emit_compact(mask, cols_m, cols_n, k, l, s, out: SmemBuf,
 
 
 def smems_all_pos(fmi: DeviceFMIndex, codes, lens, min_intv,
-                  min_seed_len: int, max_out: int) -> SmemBuf:
+                  min_seed_len: int, max_out: int, fma=None) -> SmemBuf:
     """Pass 1: all SMEMs of every read, in one parallel sweep."""
     B, L = codes.shape
     ext = extend_all_positions(fmi, codes, lens, min_intv,
-                               check_initial=True, want_fail=False)
+                               check_initial=True, want_fail=False,
+                               fma=fma)
     E = ext["E"]
     pcol = jnp.arange(L, dtype=jnp.int32)[None, :]
     E_prev = jnp.concatenate(
@@ -211,7 +227,7 @@ def smems_all_pos(fmi: DeviceFMIndex, codes, lens, min_intv,
 
 def smems_reseed(fmi: DeviceFMIndex, codes, lens, pass1: SmemBuf,
                  split_len: int, split_width: int, min_seed_len: int,
-                 max_out: int, max_tasks: int = 0):
+                 max_out: int, max_tasks: int = 0, fma=None):
     """Pass 2: re-seed at midpoints of long low-occ pass-1 SMEMs.
 
     Each qualifying SMEM becomes a (read, x, min_intv=s+1) task; tasks
@@ -245,7 +261,8 @@ def smems_reseed(fmi: DeviceFMIndex, codes, lens, pass1: SmemBuf,
 
     ext = extend_all_positions(fmi, codes_t, lens_t,
                                t_min_intv.astype(jnp.int32),
-                               check_initial=True, want_fail=False)
+                               check_initial=True, want_fail=False,
+                               fma=fma)
     E = ext["E"]
     pcol = jnp.arange(L, dtype=jnp.int32)[None, :]
     E_prev = jnp.concatenate(
@@ -262,7 +279,8 @@ def smems_reseed(fmi: DeviceFMIndex, codes, lens, pass1: SmemBuf,
 
 
 def smems_seed_strategy(fmi: DeviceFMIndex, codes, lens, max_intv: int,
-                        min_seed_len: int, max_out: int) -> SmemBuf:
+                        min_seed_len: int, max_out: int,
+                        fma=None) -> SmemBuf:
     """Pass 3: restart-chain seed strategy. The per-position sweep
     precomputes every start's outcome; an O(L) chase replays the
     reference's next_x chain (bwtSeedStrategyAllPosOneThread)."""
@@ -270,7 +288,7 @@ def smems_seed_strategy(fmi: DeviceFMIndex, codes, lens, max_intv: int,
     mi = jnp.full((B,), max_intv, dtype=jnp.int32)
     ext = extend_all_positions(fmi, codes, lens, mi,
                                check_initial=False, want_fail=True,
-                               stop_min_len=min_seed_len)
+                               stop_min_len=min_seed_len, fma=fma)
     E = ext["E"]
     pcol = jnp.arange(L, dtype=jnp.int32)[None, :]
     in_read = pcol < lens[:, None]
@@ -319,19 +337,20 @@ def concat_smems(*bufs: SmemBuf) -> SmemBuf:
 def collect_smems_device(fmi: DeviceFMIndex, codes, lens, *,
                          min_seed_len: int, split_len: int,
                          split_width: int, max_mem_intv: int,
-                         max_out: int = None):
+                         max_out: int = None, fma=None):
     """All three seeding passes + final (m, n) sort
     (mem_collect_smem, src/bwamem.cpp:648-795)."""
     B, L = codes.shape
     M = max_out or L
     ones = jnp.ones((B,), dtype=jnp.int32)
-    p1 = smems_all_pos(fmi, codes, lens, ones, min_seed_len, M)
+    p1 = smems_all_pos(fmi, codes, lens, ones, min_seed_len, M,
+                       fma=fma)
     p2, _overflow = smems_reseed(fmi, codes, lens, p1, split_len,
-                                 split_width, min_seed_len, M)
+                                 split_width, min_seed_len, M, fma=fma)
     parts = [p1, p2]
     if max_mem_intv > 0:
         parts.append(smems_seed_strategy(fmi, codes, lens, max_mem_intv,
-                                         min_seed_len + 1, M))
+                                         min_seed_len + 1, M, fma=fma))
     combined = concat_smems(*parts)
     valid = jnp.concatenate(
         [jnp.arange(b.m.shape[1])[None, :] < b.cnt[:, None]

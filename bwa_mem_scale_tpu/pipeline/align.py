@@ -71,7 +71,8 @@ class PipelineConfig:
 
 
 def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
-                      L: int, *, opt: MemOptions, cfg: "PipelineConfig"):
+                      L: int, *, opt: MemOptions, cfg: "PipelineConfig",
+                      fma=None):
     """Device stage 1: seeding -> chaining -> extension for one batch.
 
     Free function so multi-chip wrappers (parallel/mesh.py) can shard it
@@ -85,7 +86,7 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
         fmi, codes, lens,
         min_seed_len=opt.min_seed_len, split_len=opt.split_len,
         split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
-        max_out=cfg.max_smem_out or L)
+        max_out=cfg.max_smem_out or L, fma=fma)
     rbeg, seed_idx, coord_valid, total = expand_and_lookup(
         fmi, bufs, opt.max_occ, cfg.max_coords)
     ch = chain_seeds_device(
@@ -320,14 +321,17 @@ class TpuAligner:
     """Holds device index state and compiled pipeline stages."""
 
     def __init__(self, idx: FMIndex, opt: Optional[MemOptions] = None,
-                 cfg: Optional[PipelineConfig] = None):
+                 cfg: Optional[PipelineConfig] = None, fma=None):
         self.idx = idx
         self.opt = opt or MemOptions()
         self.cfg = cfg or PipelineConfig()
         self.fmi = DeviceFMIndex.from_host(idx)
         self.dbns = DeviceBns.from_host(idx.bns)
+        self.dfma = (fma.to_device(self.fmi.pos_dtype)
+                     if fma is not None else None)
         self._jit_extend = jax.jit(
-            partial(seed_chain_extend, opt=self.opt, cfg=self.cfg),
+            partial(seed_chain_extend, opt=self.opt, cfg=self.cfg,
+                    fma=self.dfma),
             static_argnames=("L",))
         self._jit_kswg = jax.jit(
             kswg.ksw_global_batch, static_argnames=())
