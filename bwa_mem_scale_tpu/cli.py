@@ -107,7 +107,11 @@ def cmd_mem(argv):
         if fma is not None:
             print(f"* FMA ladder table loaded (K={fma.K})",
                   file=sys.stderr)
-        aligner = TpuAligner(idx, opt, fma=fma)
+        emf = find_emf(args.prefix)
+        if emf is not None:
+            print(f"* EMF perfect-match table loaded "
+                  f"(seed_len={emf.seed_len})", file=sys.stderr)
+        aligner = TpuAligner(idx, opt, fma=fma, emf=emf)
 
     out = sys.stdout if args.output == "-" else open(args.output, "w")
     rg_id = None
@@ -158,6 +162,21 @@ def find_fma(prefix: str):
             return load_fma(path)
         except Exception as e:
             print(f"* WARNING: ignoring unreadable FMA table {path}: "
+                  f"{e}", file=sys.stderr)
+    return None
+
+
+def find_emf(prefix: str):
+    """Auto-load the EMF perfect-match table next to the index, if
+    built (the reference auto-loads .perfect.<len>,
+    src/fastmap.cpp:1227)."""
+    import glob
+    from .index.perfect import load_perfect_table
+    for path in sorted(glob.glob(f"{prefix}.emf*.npz"), reverse=True):
+        try:
+            return load_perfect_table(path)
+        except Exception as e:
+            print(f"* WARNING: ignoring unreadable EMF table {path}: "
                   f"{e}", file=sys.stderr)
     return None
 

@@ -1,0 +1,244 @@
+"""EMF — Exact Match Filter ("perfect match") table: build + host side.
+
+The reference hashes every genome window of `seed_len` bp under a
+canonical min(fw, rc) key into an open-addressed table whose entries
+hold only *locations* (matching is done by comparing the read against
+the reference bytes at the candidate location), with per-key
+multi-location lists split into fw/rc sub-lists
+(src/perfect.h:93-186, builder src/perfect_index.cpp:1317-1437,
+probe src/perfect_map.cpp:583-629).
+
+TPU-native formulation: the table is four flat arrays (location,
+32-bit hash fingerprint, canonical-orientation bit, location count)
+under linear probing, so the device lookup is a handful of row
+gathers + one reference-window compare per read (ops/emf.py).
+Multi-location lists live host-side (they are only consulted for the
+rare multi-hit reads when composing extra SAM records / PE regions).
+
+Construction is vectorized NumPy over all genome positions: canonical
+packing, 64-bit mixing, identical-seed grouping via lexicographic row
+sort, and round-based vectorized linear-probe insertion (each round,
+every still-unplaced group attempts its next probe slot; first
+claimant in scan order wins — equivalent to sequential insertion in
+position order, matching the reference's first-location-wins entry
+layout, src/perfect_index.cpp:1166).
+
+Deviation from the reference (documented): windows crossing contig
+boundaries are excluded (the reference hashes the raw concatenated
+pac and can emit positions that overrun a contig).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+DEFAULT_SEED_LEN = 151
+_M1 = np.uint64(0xFF51AFD7ED558CCD)
+_M2 = np.uint64(0xC4CEB9FE1A85EC53)
+_MG = np.uint64(0x9E3779B97F4A7C15)
+
+
+def fmix64(k: np.ndarray) -> np.ndarray:
+    """MurmurHash3 finalizer (public domain), same constants as the
+    reference (src/perfect.h:497-510)."""
+    k = k.astype(np.uint64, copy=True)
+    k ^= k >> np.uint64(33)
+    k *= _M1
+    k ^= k >> np.uint64(33)
+    k *= _M2
+    k ^= k >> np.uint64(33)
+    return k
+
+
+def pack_words(win: np.ndarray) -> np.ndarray:
+    """Pack base codes [N, S] (values 0..3) into big-endian 2-bit words
+    [N, ceil(S/32)] uint64."""
+    N, S = win.shape
+    W = (S + 31) // 32
+    padded = np.zeros((N, W * 32), dtype=np.uint64)
+    padded[:, :S] = win
+    shifts = np.uint64(2) * (np.uint64(31) - np.arange(32, dtype=np.uint64))
+    return (padded.reshape(N, W, 32) << shifts[None, None, :]).sum(
+        axis=2, dtype=np.uint64)
+
+
+def hash_words(words: np.ndarray, seed_len: int) -> np.ndarray:
+    """Chained word mix; must match ops/emf.py bit for bit."""
+    h = np.full(words.shape[0], np.uint64(seed_len), dtype=np.uint64)
+    for j in range(words.shape[1]):
+        h = fmix64((h ^ words[:, j]) * _MG)
+    return h
+
+
+@dataclasses.dataclass
+class PerfectTable:
+    """Host EMF artifact (the reference's .perfect.<seed_len> file)."""
+
+    seed_len: int
+    l_pac: int
+    max_probe: int
+    loc: np.ndarray       # int64 [ncap]; -1 = empty slot
+    fp: np.ndarray        # uint32 [ncap] hash fingerprint (h >> 32)
+    fwless: np.ndarray    # uint8 [ncap] canonical orientation at loc
+    cnt: np.ndarray       # int32 [ncap] total locations of this seed
+    mlidx: np.ndarray     # int32 [ncap]; -1 = single location
+    ml_off: np.ndarray    # int64 [nml + 1] offsets into ml_locs
+    ml_nfw: np.ndarray    # int32 [nml] fw-sublist length
+    ml_locs: np.ndarray   # int64 [total] fw locs asc, then rc locs asc
+
+    @property
+    def ncap(self) -> int:
+        return len(self.loc)
+
+    def locations(self, slot: int):
+        """(fw_locs, rc_locs) of the entry at `slot`, relative to the
+        entry's canonical orientation; the entry's own location is a
+        member of fw_locs."""
+        if self.mlidx[slot] < 0:
+            return np.array([self.loc[slot]], dtype=np.int64), \
+                np.empty(0, dtype=np.int64)
+        m = int(self.mlidx[slot])
+        lo, hi = int(self.ml_off[m]), int(self.ml_off[m + 1])
+        nfw = int(self.ml_nfw[m])
+        return self.ml_locs[lo: lo + nfw], self.ml_locs[lo + nfw: hi]
+
+
+def build_perfect_table(idx, seed_len: int = DEFAULT_SEED_LEN,
+                        slack: float = 1.6) -> PerfectTable:
+    """Vectorized builder over every in-contig genome window.
+
+    (The reference builds with a pthread producer/consumer pipeline,
+    src/perfect_index.cpp:1317-1437; vectorized NumPy covers
+    bacterial-scale genomes in seconds — genome-scale builds should go
+    through the same math in native code or on device, chunked.)
+    """
+    S = seed_len
+    bns = idx.bns
+    seq = np.asarray(idx.ref_string[: bns.l_pac], dtype=np.uint8)
+    if bns.l_pac < S:
+        raise ValueError("genome shorter than seed_len")
+
+    win = np.lib.stride_tricks.sliding_window_view(seq, S)  # [P, S]
+    npos = win.shape[0]
+    # exclude windows that cross a contig boundary
+    starts = np.array([a.offset for a in bns.anns], dtype=np.int64)
+    ends = starts + np.array([a.length for a in bns.anns], dtype=np.int64)
+    pos = np.arange(npos, dtype=np.int64)
+    ctg = np.searchsorted(ends, pos, side="right")
+    ok = pos + S <= ends[np.minimum(ctg, len(ends) - 1)]
+    pos = pos[ok]
+
+    fw_words = pack_words(win[ok])
+    rc = (3 - win[ok][:, ::-1]).astype(np.uint8)
+    rc_words = pack_words(rc)
+    # lexicographic fw <= rc via big-endian word compare
+    W = fw_words.shape[1]
+    fwless = np.ones(len(pos), dtype=bool)
+    decided = np.zeros(len(pos), dtype=bool)
+    for j in range(W):
+        d = ~decided & (fw_words[:, j] != rc_words[:, j])
+        fwless[d] = fw_words[d, j] < rc_words[d, j]
+        decided |= d
+    canon = np.where(fwless[:, None], fw_words, rc_words)
+
+    # group identical seeds (lexicographic row order)
+    order = np.lexsort(tuple(canon[:, j] for j in range(W - 1, -1, -1)))
+    cs = canon[order]
+    new_grp = np.ones(len(pos), dtype=bool)
+    if len(pos) > 1:
+        new_grp[1:] = (cs[1:] != cs[:-1]).any(axis=1)
+    gid_sorted = np.cumsum(new_grp) - 1
+    gid = np.empty(len(pos), dtype=np.int64)
+    gid[order] = gid_sorted
+    n_grp = int(gid_sorted[-1]) + 1 if len(pos) else 0
+
+    # per group: representative = smallest position (scan order)
+    rep = np.full(n_grp, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(rep, gid, pos)
+    grp_cnt = np.bincount(gid, minlength=n_grp).astype(np.int32)
+    h_all = hash_words(canon, S)
+    # entry orientation = orientation of the representative location
+    rep_fwless = np.zeros(n_grp, dtype=np.uint8)
+    is_rep = pos == rep[gid]
+    rep_fwless[gid[is_rep]] = fwless[is_rep]
+    grp_h = np.zeros(n_grp, dtype=np.uint64)
+    grp_h[gid[is_rep]] = h_all[is_rep]
+
+    # vectorized linear-probe insertion
+    ncap = 1 << max(4, int(np.ceil(np.log2(max(n_grp, 1) * slack))))
+    mask = np.uint64(ncap - 1)
+    tab = np.full(ncap, -1, dtype=np.int64)      # group id per slot
+    remaining = np.arange(n_grp, dtype=np.int64)
+    r = np.uint64(0)
+    max_probe = 1
+    while len(remaining):
+        s = ((grp_h[remaining] + r) & mask).astype(np.int64)
+        empty = tab[s] < 0
+        uniq, first = np.unique(s, return_index=True)
+        claim = np.zeros(len(s), dtype=bool)
+        claim[first] = True
+        winr = empty & claim
+        tab[s[winr]] = remaining[winr]
+        remaining = remaining[~winr]
+        r += np.uint64(1)
+        max_probe = max(max_probe, int(r))
+
+    filled = tab >= 0
+    g = tab[filled]
+    loc = np.full(ncap, -1, dtype=np.int64)
+    loc[filled] = rep[g]
+    fp = np.zeros(ncap, dtype=np.uint32)
+    fp[filled] = (grp_h[g] >> np.uint64(32)).astype(np.uint32)
+    out_fwless = np.zeros(ncap, dtype=np.uint8)
+    out_fwless[filled] = rep_fwless[g]
+    cnt = np.zeros(ncap, dtype=np.int32)
+    cnt[filled] = grp_cnt[g]
+
+    # multi-location lists (fw = same orientation as the entry)
+    multi = grp_cnt > 1
+    nml = int(multi.sum())
+    ml_id = np.full(n_grp, -1, dtype=np.int64)
+    ml_id[multi] = np.arange(nml)
+    mlidx = np.full(ncap, -1, dtype=np.int32)
+    mlidx[filled] = ml_id[g]
+    ml_nfw = np.zeros(nml, dtype=np.int32)
+    ml_off = np.zeros(nml + 1, dtype=np.int64)
+    ml_locs = np.empty(0, dtype=np.int64)
+    if nml:
+        in_multi = multi[gid]
+        mg = ml_id[gid[in_multi]]
+        mpos = pos[in_multi]
+        same_ori = fwless[in_multi] == rep_fwless[gid[in_multi]]
+        # order: (group, rc-sublist flag, position)
+        o = np.lexsort((mpos, ~same_ori, mg))
+        ml_locs = mpos[o]
+        per = np.bincount(mg, minlength=nml).astype(np.int64)
+        ml_off[1:] = np.cumsum(per)
+        np.add.at(ml_nfw, mg[same_ori], 1)
+
+    return PerfectTable(seed_len=S, l_pac=bns.l_pac,
+                        max_probe=max_probe, loc=loc, fp=fp,
+                        fwless=out_fwless, cnt=cnt, mlidx=mlidx,
+                        ml_off=ml_off, ml_nfw=ml_nfw, ml_locs=ml_locs)
+
+
+def save_perfect_table(pt: PerfectTable, prefix: str) -> str:
+    path = f"{prefix}.emf{pt.seed_len}.npz"
+    np.savez(path, seed_len=np.int64(pt.seed_len),
+             l_pac=np.int64(pt.l_pac), max_probe=np.int64(pt.max_probe),
+             loc=pt.loc, fp=pt.fp, fwless=pt.fwless, cnt=pt.cnt,
+             mlidx=pt.mlidx, ml_off=pt.ml_off, ml_nfw=pt.ml_nfw,
+             ml_locs=pt.ml_locs)
+    return path
+
+
+def load_perfect_table(path: str) -> PerfectTable:
+    with np.load(path) as z:
+        return PerfectTable(
+            seed_len=int(z["seed_len"]), l_pac=int(z["l_pac"]),
+            max_probe=int(z["max_probe"]), loc=z["loc"], fp=z["fp"],
+            fwless=z["fwless"], cnt=z["cnt"], mlidx=z["mlidx"],
+            ml_off=z["ml_off"], ml_nfw=z["ml_nfw"], ml_locs=z["ml_locs"])

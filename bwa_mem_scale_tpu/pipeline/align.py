@@ -321,7 +321,8 @@ class TpuAligner:
     """Holds device index state and compiled pipeline stages."""
 
     def __init__(self, idx: FMIndex, opt: Optional[MemOptions] = None,
-                 cfg: Optional[PipelineConfig] = None, fma=None):
+                 cfg: Optional[PipelineConfig] = None, fma=None,
+                 emf=None):
         self.idx = idx
         self.opt = opt or MemOptions()
         self.cfg = cfg or PipelineConfig()
@@ -329,12 +330,30 @@ class TpuAligner:
         self.dbns = DeviceBns.from_host(idx.bns)
         self.dfma = (fma.to_device(self.fmi.pos_dtype)
                      if fma is not None else None)
+        self.emf = emf
+        self.demf = None
+        self.emf_hits = 0   # pprof-style outcome counter (bwamem.cpp:54)
+        self.emf_checked = 0
+        if emf is not None:
+            from ..ops.emf import DeviceEmf, emf_lookup
+            self.demf = DeviceEmf.from_host(emf)
+            self._jit_emf = jax.jit(emf_lookup)
         self._jit_extend = jax.jit(
             partial(seed_chain_extend, opt=self.opt, cfg=self.cfg,
                     fma=self.dfma),
             static_argnames=("L",))
         self._jit_kswg = jax.jit(
             kswg.ksw_global_batch, static_argnames=())
+
+    def emf_filter(self, codes: np.ndarray, lens: np.ndarray):
+        """Perfect-match prefilter (mem_kernel1_core's EMF pass,
+        src/bwamem.cpp:1085-1130). Returns numpy dict or None."""
+        if self.demf is None or codes.shape[1] < self.emf.seed_len:
+            return None
+        out = self._jit_emf(self.demf, self.fmi.ref,
+                            jnp.asarray(codes, dtype=jnp.int32),
+                            jnp.asarray(lens, dtype=jnp.int32))
+        return {k: np.asarray(v) for k, v in out.items()}
 
     # ------------------------------------------------------------------
     # Host finalization
@@ -380,12 +399,35 @@ class TpuAligner:
 
     def align_and_finalize(self, codes: np.ndarray, lens: np.ndarray,
                            id_offset: int = 0):
-        """Full SE path to per-read SAM records (batched device CIGARs)."""
+        """Full SE path to per-read SAM records (batched device CIGARs).
+
+        Perfect-matched reads (EMF) short-circuit the pipeline: their
+        lanes are zeroed for the device stage and their records come
+        straight from the table (mem_perfect2sam path)."""
         from .finalize import BatchFinalizer
         opt = self.opt
         bns = self.idx.bns
         ref = self.idx.ref_string
-        all_regs = self.align_batch(codes, lens)
+
+        pm_records = {}
+        lens_eff = np.asarray(lens)
+        pm = self.emf_filter(codes, lens)
+        if pm is not None:
+            from .perfect import perfect_sam_records
+            from ..ops.emf import FW_MATCHED, RC_MATCHED
+            is_pm = ((pm["code"] == FW_MATCHED)
+                     | (pm["code"] == RC_MATCHED))
+            self.emf_checked += len(lens)
+            self.emf_hits += int(is_pm.sum())
+            if is_pm.any():
+                lens_eff = np.where(is_pm, 0, lens_eff).astype(np.int32)
+                for i in np.flatnonzero(is_pm):
+                    read = codes[i, : lens[i]].astype(np.uint8)
+                    pm_records[int(i)] = perfect_sam_records(
+                        opt, bns, self.emf, ref, read,
+                        int(pm["code"][i]), int(pm["slot"][i]))
+
+        all_regs = self.align_batch(codes, lens_eff)
         queries = []
         finalized = []
         for i, regs in enumerate(all_regs):
@@ -395,7 +437,10 @@ class TpuAligner:
             regs, _ = mark_primary(opt, regs, id_offset + i)
             finalized.append(regs)
         fin = BatchFinalizer(opt, self.idx)
-        return fin.records_for_batch(queries, finalized)
+        out_records = fin.records_for_batch(queries, finalized)
+        for i, recs in pm_records.items():
+            out_records[i] = recs
+        return out_records
 
     def align_reads_to_sam(self, batch, id_offset: int = 0) -> List[str]:
         codes, lens = batch.padded_codes()

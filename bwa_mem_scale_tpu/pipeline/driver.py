@@ -69,4 +69,8 @@ def run_alignment(aligner, fastq_paths: List[str], out,
         n_reads += len(batch)
         id_offset += len(batch)
     t.join()
+    if getattr(aligner, "emf_checked", 0):
+        print(f"* EMF perfect-match hits: {aligner.emf_hits}/"
+              f"{aligner.emf_checked} reads short-circuited",
+              file=sys.stderr)
     return n_reads
