@@ -41,6 +41,10 @@ def _add_mem_opts(p: argparse.ArgumentParser):
     p.add_argument("-Y", action="store_true", dest="softclip_supp")
     p.add_argument("-K", type=int, default=None, dest="chunk_bp",
                    help="process this many bp per batch (determinism)")
+    p.add_argument("-p", action="store_true", dest="smart_pairing",
+                   help="first input is interleaved paired-end")
+    p.add_argument("-I", type=str, default=None, dest="insert_spec",
+                   help="mean[,std[,max[,min]]] fixed insert size")
     p.add_argument("-v", type=int, default=3, dest="verbosity")
     p.add_argument("-R", type=str, default=None, dest="rg_line")
     p.add_argument("--batch-reads", type=int, default=512,
@@ -121,10 +125,24 @@ def cmd_mem(argv):
                 rg_id = field[3:]
     out.write(sam_header(idx.bns, args.rg_line,
                          pg_cl=" ".join(sys.argv)))
+    paired = args.smart_pairing or len(args.fastq) == 2
+    if args.insert_spec:
+        from .pipeline.pe import PeStat
+        parts = [float(x) for x in args.insert_spec.split(",")]
+        mean = parts[0]
+        std = parts[1] if len(parts) > 1 else mean * 0.1
+        hi = parts[2] if len(parts) > 2 else int(mean + 4 * std + 0.499)
+        lo = parts[3] if len(parts) > 3 else int(mean - 4 * std + 0.499)
+        pes = [PeStat() for _ in range(4)]
+        pes[1] = PeStat(low=max(int(lo), 1), high=int(hi), avg=mean,
+                        std=std, failed=False)
+        aligner.pes = pes
+        print(f"* fixed FR insert size: mean {mean} std {std} "
+              f"proper [{pes[1].low}, {pes[1].high}]", file=sys.stderr)
     n_reads = run_alignment(aligner, args.fastq, out,
                             batch_reads=args.batch_reads,
                             chunk_bp=args.chunk_bp, rg_id=rg_id,
-                            n_workers=args.n_threads)
+                            n_workers=args.n_threads, paired=paired)
     if out is not sys.stdout:
         out.close()
     PROFILER.report()

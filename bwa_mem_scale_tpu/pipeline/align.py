@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import sys
 from functools import partial
 from typing import List, Optional
 
@@ -334,6 +335,7 @@ class TpuAligner:
         self.demf = None
         self.emf_hits = 0   # pprof-style outcome counter (bwamem.cpp:54)
         self.emf_checked = 0
+        self.pes = None     # fixed insert-size override (-I)
         if emf is not None:
             from ..ops.emf import DeviceEmf, emf_lookup
             self.demf = DeviceEmf.from_host(emf)
@@ -441,6 +443,76 @@ class TpuAligner:
         for i, recs in pm_records.items():
             out_records[i] = recs
         return out_records
+
+    def align_pairs_and_finalize(self, codes: np.ndarray,
+                                 lens: np.ndarray, id_offset: int = 0):
+        """Paired-end path: codes [2N, L] with mates interleaved
+        (2i, 2i+1). Returns (records per read, mate record per read).
+
+        Mirrors worker_sam's PE flow (src/bwamem.cpp:1668-1830):
+        per-read regions (EMF hits via mem_perfect2reg), batch
+        insert-size stats, batched mate rescue, then per-pair pairing
+        and record composition.
+        """
+        from .pe import (mem_pestat, build_rescue_jobs, run_rescue_jobs,
+                         apply_rescues, sam_pe_records)
+        opt = self.opt
+        bns = self.idx.bns
+        ref = self.idx.ref_string
+        B = codes.shape[0]
+        assert B % 2 == 0
+
+        pm_regs = {}
+        lens_eff = np.asarray(lens)
+        pm = self.emf_filter(codes, lens)
+        if pm is not None:
+            from .perfect import perfect_regs
+            from ..ops.emf import FW_MATCHED, RC_MATCHED
+            is_pm = ((pm["code"] == FW_MATCHED)
+                     | (pm["code"] == RC_MATCHED))
+            self.emf_checked += len(lens)
+            self.emf_hits += int(is_pm.sum())
+            if is_pm.any():
+                lens_eff = np.where(is_pm, 0, lens_eff).astype(np.int32)
+                for i in np.flatnonzero(is_pm):
+                    read = codes[i, : lens[i]].astype(np.uint8)
+                    pm_regs[int(i)] = perfect_regs(
+                        opt, bns, self.emf, ref, read,
+                        int(pm["code"][i]), int(pm["slot"][i]))
+
+        all_regs = self.align_batch(codes, lens_eff)
+        queries = [codes[i, : lens[i]].astype(np.uint8)
+                   for i in range(B)]
+        for i in range(B):
+            if i in pm_regs:
+                all_regs[i] = pm_regs[i]
+            else:
+                all_regs[i] = sort_dedup_patch(opt, bns, ref,
+                                               queries[i], all_regs[i])
+
+        pair_regs = [(all_regs[2 * p], all_regs[2 * p + 1])
+                     for p in range(B // 2)]
+        pair_seqs = [(queries[2 * p], queries[2 * p + 1])
+                     for p in range(B // 2)]
+        pes = self.pes if self.pes is not None else mem_pestat(
+            opt, bns.l_pac, pair_regs,
+            log=lambda m: print(m, file=sys.stderr))
+
+        jobs = build_rescue_jobs(opt, bns, ref, pes, pair_regs,
+                                 pair_seqs)
+        results = run_rescue_jobs(opt, jobs)
+        apply_rescues(opt, bns.l_pac, jobs, results, pair_regs)
+
+        records: List[list] = [None] * B
+        mates: List[object] = [None] * B
+        for p in range(B // 2):
+            regs2 = [list(pair_regs[p][0]), list(pair_regs[p][1])]
+            q2 = [queries[2 * p], queries[2 * p + 1]]
+            recs2, m2 = sam_pe_records(opt, bns, ref, pes,
+                                       (id_offset >> 1) + p, q2, regs2)
+            records[2 * p], records[2 * p + 1] = recs2
+            mates[2 * p], mates[2 * p + 1] = m2
+        return records, mates
 
     def align_reads_to_sam(self, batch, id_offset: int = 0) -> List[str]:
         codes, lens = batch.padded_codes()

@@ -21,30 +21,56 @@ from ..io.sam import aln_to_sam_line
 from ..utils.profiling import PROFILER
 
 
+def _iter_reads(paths: List[str], paired: bool):
+    """Yield reads; for two input files, interleave mates 2i/2i+1
+    (bseq_read's smart pairing, src/bwa.cpp:266-362)."""
+    if paired and len(paths) == 2:
+        it0, it1 = iter_fastx(paths[0]), iter_fastx(paths[1])
+        while True:
+            r0 = next(it0, None)
+            r1 = next(it1, None)
+            if r0 is None and r1 is None:
+                return
+            if r0 is None or r1 is None:
+                raise ValueError("paired FASTQ files differ in length")
+            yield r0
+            yield r1
+    else:
+        for path in paths:
+            yield from iter_fastx(path)
+
+
 def _reader(paths: List[str], batch_reads: int, chunk_bp: Optional[int],
-            q: "queue.Queue"):
-    batch: List[Read] = []
-    bp = 0
-    for path in paths:
-        for r in iter_fastx(path):
+            q: "queue.Queue", paired: bool = False):
+    try:
+        batch: List[Read] = []
+        bp = 0
+        step = 2 if paired else 1
+        for r in _iter_reads(paths, paired):
             batch.append(r)
             bp += len(r.seq)
             full = (len(batch) >= batch_reads
                     if chunk_bp is None else bp >= chunk_bp)
-            if full:
+            if full and len(batch) % step == 0:
                 q.put(ReadBatch(batch))
                 batch, bp = [], 0
-    if batch:
-        q.put(ReadBatch(batch))
-    q.put(None)
+        if batch:
+            if paired and len(batch) % 2:
+                raise ValueError("odd number of reads in paired input")
+            q.put(ReadBatch(batch))
+        q.put(None)
+    except BaseException as e:  # surface reader errors to the driver
+        q.put(e)
 
 
 def run_alignment(aligner, fastq_paths: List[str], out,
                   batch_reads: int = 512, chunk_bp: Optional[int] = None,
-                  rg_id: Optional[str] = None, n_workers: int = 1) -> int:
+                  rg_id: Optional[str] = None, n_workers: int = 1,
+                  paired: bool = False) -> int:
     q: "queue.Queue" = queue.Queue(maxsize=4)
     t = threading.Thread(target=_reader,
-                         args=(fastq_paths, batch_reads, chunk_bp, q),
+                         args=(fastq_paths, batch_reads, chunk_bp, q,
+                               paired),
                          daemon=True)
     t.start()
     n_reads = 0
@@ -55,17 +81,26 @@ def run_alignment(aligner, fastq_paths: List[str], out,
         item = q.get()
         if item is None:
             break
+        if isinstance(item, BaseException):
+            raise item
         batch = item
         with PROFILER.phase("align_batch"):
             codes, lens = batch.padded_codes()
-            records_per_read = aligner.align_and_finalize(
-                codes.astype(np.int32), lens, id_offset)
+            if paired:
+                records_per_read, mates = aligner.align_pairs_and_finalize(
+                    codes.astype(np.int32), lens, id_offset)
+            else:
+                records_per_read = aligner.align_and_finalize(
+                    codes.astype(np.int32), lens, id_offset)
+                mates = [None] * len(batch)
         with PROFILER.phase("sam_write"):
-            for read, records in zip(batch.reads, records_per_read):
+            for ri, (read, records) in enumerate(
+                    zip(batch.reads, records_per_read)):
                 for which in range(len(records)):
                     out.write(aln_to_sam_line(opt, bns, read,
                                               len(records), records,
-                                              which, rg_id=rg_id))
+                                              which, mate=mates[ri],
+                                              rg_id=rg_id))
         n_reads += len(batch)
         id_offset += len(batch)
     t.join()

@@ -99,7 +99,10 @@ def sort_dedup_patch(opt: MemOptions, bns, ref_string, query,
                 else:
                     q.qe = q.qb
             elif q.rb < p.rb:
-                score, w = patch_reg(opt, bns, ref_string, query, q, p)
+                # patching disabled when called without reference/query
+                # (mem_patch_reg returns 0 then, src/bwamem.cpp:206)
+                score, w = (patch_reg(opt, bns, ref_string, query, q, p)
+                            if bns is not None else (0, 0))
                 if score > 0:
                     p.n_comp += q.n_comp + 1
                     p.seedcov = max(p.seedcov, q.seedcov)
