@@ -55,9 +55,16 @@ def banded_swa_batch(qs, q_lens, ts, t_lens, h0, w: int,
     ts = ts.astype(i32)
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
+    # The scoring matrix is always bwa's fill_scmat shape (match a on
+    # the diagonal, -b off it, -1 vs N; src/bwa.cpp:98-110) — compute
+    # the query profile arithmetically instead of a [P, QL] table
+    # gather per row (gathers are the slow primitive on TPU).
     import numpy as _np
-    mx = int(_np.max(_np.asarray(mat)))
-    mat = jnp.asarray(mat, dtype=i32)
+    mat_np = _np.asarray(mat)
+    mx = int(mat_np.max())
+    sc_match = int(mat_np[0, 0])
+    sc_mis = int(mat_np[0, 1])
+    sc_n = int(mat_np[0, 4])
 
     colq = jnp.arange(QL + 1, dtype=jnp.int32)[None, :]        # [1, QL+1] (eh row index)
     q_codes = jnp.clip(qs, 0, 4)
@@ -110,10 +117,15 @@ def banded_swa_batch(qs, q_lens, ts, t_lens, h0, w: int,
         return jnp.any(st.alive)
 
     def body(st: _St):
-        i = st.i
+        i = st.i                       # scalar row index (lockstep)
         alive = st.alive & (i < t_lens)
-        tb = jnp.clip(ts[jnp.arange(P), jnp.clip(i, 0, TL - 1)], 0, 4)
-        qprof = mat[tb[:, None], q_codes]                  # [P, QL]
+        tb = jax.lax.dynamic_slice(ts, (jnp.int32(0), i),
+                                   (P, 1))[:, 0]
+        tb = jnp.clip(tb, 0, 4)
+        is_n = (tb[:, None] == 4) | (q_codes == 4)
+        qprof = jnp.where(is_n, sc_n,
+                          jnp.where(tb[:, None] == q_codes,
+                                    sc_match, sc_mis)).astype(i32)
 
         beg = jnp.maximum(st.beg, i - w_p)
         end = jnp.minimum(jnp.minimum(st.end, i + w_p + 1), q_lens)
@@ -163,12 +175,16 @@ def banded_swa_batch(qs, q_lens, ts, t_lens, h0, w: int,
         new_e = jnp.where(upd_e, jnp.concatenate(
             [E_next, jnp.zeros((P, 1), i32)], axis=1)[:, : QL + 1],
             st.eh_e[:, : QL + 1])
-        bpx = jnp.arange(P)
-        new_e = new_e.at[bpx, jnp.clip(end, 0, QL)].set(0)
+        # per-lane end-column writes as masked selects (scatters are
+        # a slow path on TPU)
+        end_c = jnp.clip(end, 0, QL)
+        at_end = colq == end_c[:, None]
+        new_e = jnp.where(at_end, 0, new_e)
         # h at index `end` = H(i, end-1) = h1 after loop
-        h1_last = Hshift[bpx, jnp.clip(end, 0, QL)]
+        h1_last = jnp.sum(jnp.where(at_end, Hshift, 0), axis=1,
+                          dtype=i32)
         h1_last = jnp.where(end > beg, h1_last, h1_first)
-        new_h = new_h.at[bpx, jnp.clip(end, 0, QL)].set(h1_last)
+        new_h = jnp.where(at_end, h1_last[:, None], new_h)
 
         eh_h2 = jnp.where(alive[:, None],
                           jnp.concatenate([new_h, st.eh_h[:, QL + 1:]],
@@ -223,7 +239,7 @@ def banded_swa_batch(qs, q_lens, ts, t_lens, h0, w: int,
                    max_j, max_ie, gscore, max_off, alive2)
 
     st0 = _St(
-        i=jnp.zeros((P,), i32),
+        i=jnp.int32(0),
         eh_h=eh_h, eh_e=eh_e,
         beg=jnp.zeros((P,), i32), end=q_lens.astype(i32),
         max_sc=h0.astype(i32),

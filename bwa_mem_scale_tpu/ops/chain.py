@@ -109,10 +109,12 @@ def chain_seeds_device(bns: DeviceBns, smems, rbeg, seed_idx, coord_valid,
     )
 
     def body(c, st):
-        valid = coord_valid[:, c]
-        s_rbeg = rbeg[:, c]
-        s_qbeg = qbeg_all[:, c]
-        s_len = slen_all[:, c]
+        take = lambda x: jax.lax.dynamic_index_in_dim(
+            x, c, axis=1, keepdims=False)
+        valid = take(coord_valid)
+        s_rbeg = take(rbeg)
+        s_qbeg = take(qbeg_all)
+        s_len = take(slen_all)
         rid = bns.intv2rid(s_rbeg, s_rbeg + s_len.astype(pos_dtype))
         valid = valid & (rid >= 0)
 
@@ -194,7 +196,19 @@ def chain_seeds_device(bns: DeviceBns, smems, rbeg, seed_idx, coord_valid,
         )
         return st
 
-    st = jax.lax.fori_loop(0, NC, body, st)
+    # Only iterate to the longest coordinate list in the batch — the
+    # [B, NC] buffers are sized for the worst case but typical reads
+    # fill a small prefix.
+    n_coord = jnp.max(jnp.sum(coord_valid.astype(jnp.int32), axis=1))
+
+    def cond(cs):
+        return cs[0] < n_coord
+
+    def step(cs):
+        c, st = cs
+        return c + 1, body(c, st)
+
+    _, st = jax.lax.while_loop(cond, step, (jnp.int32(0), st))
     return st
 
 

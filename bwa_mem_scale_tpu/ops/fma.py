@@ -129,8 +129,10 @@ def fast_forward(fmi: DeviceFMIndex, fma: DeviceFmaTable, codes, lens,
     """Resolve the first K_eff extension steps of every (read, pos) lane
     from the ladder table.
 
-    Returns (E, k, l, s, active) exactly as `extend_all_positions` would
-    have them after K_eff lockstep steps:
+    Returns (E, k, l, s, active, died_s) exactly as
+    `extend_all_positions` would have them after K_eff lockstep steps
+    (died_s: lane retired inside the window on an interval-size
+    failure — for min_intv == 1 that means s hit 0):
       j* = number of steps the lane survives within the window
            (pass 1/2: s_j >= mi for every prefix; pass 3: every in-range
            non-N step is kept regardless of s — callers guarantee
@@ -177,4 +179,5 @@ def fast_forward(fmi: DeviceFMIndex, fma: DeviceFmaTable, codes, lens,
     s = jnp.where(has, s, zero)
     E = pcol + jstar
     active = (jstar == K_eff) & ((pcol + K_eff) < lens[:, None])
-    return E, k, l, s, active
+    died_s = jstar < cap
+    return E, k, l, s, active, died_s

@@ -11,6 +11,7 @@ string work).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -27,6 +28,8 @@ class KswgResult(NamedTuple):
     tail_ins: jax.Array   # [P] leading insertion run length
 
 
+@partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins",
+                                    "e_ins"))
 def ksw_global_batch(qs, q_lens, ts, t_lens, w_p,
                      o_del: int, e_del: int, o_ins: int, e_ins: int,
                      mat) -> KswgResult:
@@ -65,7 +68,12 @@ def ksw_global_batch(qs, q_lens, ts, t_lens, w_p,
         eh_h, eh_e, z = carry
         alive = i < t_lens
         tb = jnp.clip(ts[:, jnp.minimum(i, TL - 1)], 0, 4)
-        qprof = mat[tb[:, None], q_codes]
+        # arithmetic query profile (bwa_fill_scmat structure) instead
+        # of a per-element table gather
+        is_n = (tb[:, None] == 4) | (q_codes == 4)
+        qprof = jnp.where(is_n, mat[0, 4],
+                          jnp.where(tb[:, None] == q_codes,
+                                    mat[0, 0], mat[0, 1])).astype(i32)
 
         beg = jnp.maximum(i - w_p, 0)
         end = jnp.minimum(i + w_p + 1, q_lens)
@@ -101,10 +109,9 @@ def ksw_global_batch(qs, q_lens, ts, t_lens, w_p,
 
         d = (d_h | (e_bit.astype(jnp.uint8) << 2)
              | (f_bit.astype(jnp.uint8) << 5))
-        # bank the row at band-relative columns: z_row[c] = d[c + beg]
-        drow = jnp.take_along_axis(
-            jnp.where(in_band, d, 0), jnp.clip(colj + beg[:, None], 0,
-                                               QL - 1), axis=1)
+        # bank the row at absolute columns (the z buffer is the full
+        # rectangle anyway; saves the band-shift gathers on both ends)
+        drow = jnp.where(in_band, d, 0)
         z = jax.lax.dynamic_update_slice(
             z, jnp.where(alive[:, None], drow, z[:, i, :])[:, None, :],
             (0, i, 0))
@@ -118,10 +125,12 @@ def ksw_global_batch(qs, q_lens, ts, t_lens, w_p,
         new_e = jnp.where(upd_e, jnp.concatenate(
             [E_next, jnp.full((P, 1), NEG_INF, i32)], axis=1)[:, : QL + 1],
             eh_e[:, : QL + 1])
-        new_e = new_e.at[bpx, jnp.clip(end, 0, QL)].set(NEG_INF)
-        h1_last = Hshift[bpx, jnp.clip(end, 0, QL)]
+        at_end = colq == jnp.clip(end, 0, QL)[:, None]
+        new_e = jnp.where(at_end, NEG_INF, new_e)
+        h1_last = jnp.sum(jnp.where(at_end, Hshift, 0), axis=1,
+                          dtype=i32)
         h1_last = jnp.where(end > beg, h1_last, h1_first)
-        new_h = new_h.at[bpx, jnp.clip(end, 0, QL)].set(h1_last)
+        new_h = jnp.where(at_end, h1_last[:, None], new_h)
 
         eh_h = jnp.where(alive[:, None],
                          jnp.concatenate([new_h, eh_h[:, QL + 1:]], axis=1),
@@ -132,7 +141,10 @@ def ksw_global_batch(qs, q_lens, ts, t_lens, w_p,
         return eh_h, eh_e, z
 
     eh_h, eh_e, z = jax.lax.fori_loop(0, TL, row, (eh_h, eh_e, z))
-    score = eh_h[bpx, jnp.clip(q_lens, 0, QL + 1)]
+    score = jnp.sum(
+        jnp.where(jnp.arange(QL + 2, dtype=i32)[None, :]
+                  == jnp.clip(q_lens, 0, QL + 1)[:, None], eh_h, 0),
+        axis=1, dtype=i32)
 
     # ---------------- lockstep traceback ----------------
     S = QL + TL + 2
@@ -148,9 +160,8 @@ def ksw_global_batch(qs, q_lens, ts, t_lens, w_p,
     def tb_body(st):
         i, k, which, sc, ops = st
         active = (i >= 0) & (k >= 0)
-        beg = jnp.maximum(i - w_p, 0)
         d = z[bpx, jnp.clip(i, 0, TL - 1),
-              jnp.clip(k - beg, 0, QL - 1)].astype(i32)
+              jnp.clip(k, 0, QL - 1)].astype(i32)
         which_new = (d >> (which << 1)) & 3
         which = jnp.where(active, which_new, which)
         op = jnp.where(which == 0, 0,

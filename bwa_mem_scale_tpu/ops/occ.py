@@ -28,11 +28,19 @@ from ..index.artifacts import FMIndex, CP_SHIFT, CP_MASK
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class DeviceFMIndex:
-    """FM-index arrays resident on device."""
+    """FM-index arrays resident on device.
+
+    For int32-position genomes, the checkpoint counts and bitmasks are
+    fused into one [nb, 8] int32 table so each occ(p, *) is a single
+    row gather (row gathers are the dominant cost of the seeding
+    sweeps on TPU — the analogue of the reference packing CP_OCC into
+    one cache line, src/FMI_search.h:64-68)."""
 
     count: jax.Array        # [5] pos_dtype
-    cp_count: jax.Array     # [nb, 4] pos_dtype
-    cp_mask: jax.Array      # [nb, 4] uint32
+    cp_fused: jax.Array     # [nb, 8] int32 (counts | bitcast masks),
+                            # or None for int64 genomes
+    cp_count: jax.Array     # [nb, 4] pos_dtype (int64 path)
+    cp_mask: jax.Array      # [nb, 4] uint32    (int64 path)
     sa_samples: jax.Array   # [ns] pos_dtype
     sentinel_index: jax.Array  # scalar pos_dtype
     ref: jax.Array          # [2*l_pac] uint8 fw+rc byte reference
@@ -46,8 +54,9 @@ class DeviceFMIndex:
         return self.count.dtype
 
     def tree_flatten(self):
-        children = (self.count, self.cp_count, self.cp_mask,
-                    self.sa_samples, self.sentinel_index, self.ref)
+        children = (self.count, self.cp_fused, self.cp_count,
+                    self.cp_mask, self.sa_samples, self.sentinel_index,
+                    self.ref)
         aux = (self.sa_compx, self.l_pac, self.seq_len)
         return children, aux
 
@@ -60,10 +69,23 @@ class DeviceFMIndex:
                   ) -> "DeviceFMIndex":
         pos_dtype = (np.int64 if (force_int64 or not idx.pos_fits_int32)
                      else np.int32)
+        if pos_dtype == np.int32:
+            fused = np.concatenate(
+                [idx.cp_count.astype(np.int32),
+                 idx.cp_mask.view(np.int32).reshape(-1, 4)],
+                axis=1)
+            cp_fused = jnp.asarray(fused)
+            cp_count = None
+            cp_mask = None
+        else:
+            cp_fused = None
+            cp_count = jnp.asarray(idx.cp_count, dtype=pos_dtype)
+            cp_mask = jnp.asarray(idx.cp_mask)
         return cls(
             count=jnp.asarray(idx.count, dtype=pos_dtype),
-            cp_count=jnp.asarray(idx.cp_count, dtype=pos_dtype),
-            cp_mask=jnp.asarray(idx.cp_mask),
+            cp_fused=cp_fused,
+            cp_count=cp_count,
+            cp_mask=cp_mask,
             sa_samples=jnp.asarray(idx.sa_samples, dtype=pos_dtype),
             sentinel_index=jnp.asarray(idx.sentinel_index, dtype=pos_dtype),
             ref=jnp.asarray(idx.ref_string),
@@ -77,8 +99,13 @@ def occ_all4(fmi: DeviceFMIndex, pp: jax.Array) -> jax.Array:
     """occ(pp, c) for all four bases. pp [...], returns [..., 4]."""
     block = (pp >> CP_SHIFT).astype(jnp.int32)
     y = (pp & CP_MASK).astype(jnp.uint32)
-    counts = fmi.cp_count[block]               # [..., 4]
-    masks = fmi.cp_mask[block]                 # [..., 4] uint32
+    if fmi.cp_fused is not None:
+        row = fmi.cp_fused[block]              # [..., 8] one gather
+        counts = row[..., :4]
+        masks = jax.lax.bitcast_convert_type(row[..., 4:], jnp.uint32)
+    else:
+        counts = fmi.cp_count[block]           # [..., 4]
+        masks = fmi.cp_mask[block]             # [..., 4] uint32
     # Top-y-bits mask; y == 0 -> 0.
     top = (~(jnp.uint32(0xFFFFFFFF) >> y)).astype(jnp.uint32)
     hit = masks & top[..., None]
@@ -121,12 +148,36 @@ def forward_ext(fmi: DeviceFMIndex, k, l, s, a):
     return l2, k2, s2
 
 
+def _row_at(fmi: DeviceFMIndex, block):
+    if fmi.cp_fused is not None:
+        row = fmi.cp_fused[block]
+        return row[..., :4], jax.lax.bitcast_convert_type(row[..., 4:],
+                                                          jnp.uint32)
+    return fmi.cp_count[block], fmi.cp_mask[block]
+
+
 def bwt_base_at(fmi: DeviceFMIndex, pos: jax.Array) -> jax.Array:
     """Base code of BWT[pos] ([...] int32); 4 at the sentinel row."""
     block = (pos >> CP_SHIFT).astype(jnp.int32)
     y = (31 - (pos & CP_MASK)).astype(jnp.uint32)
-    masks = fmi.cp_mask[block]                       # [..., 4]
+    _, masks = _row_at(fmi, block)
     bits = (masks >> y[..., None]) & jnp.uint32(1)   # [..., 4]
     b = jnp.argmax(bits, axis=-1).astype(jnp.int32)
     none = jnp.sum(bits, axis=-1) == 0
     return jnp.where(none, 4, b)
+
+
+def occ_and_base(fmi: DeviceFMIndex, pos: jax.Array):
+    """(occ(pos, c) for all c, BWT[pos]) with ONE checkpoint-row gather
+    — the LF-step fast path for SA resolution."""
+    block = (pos >> CP_SHIFT).astype(jnp.int32)
+    counts, masks = _row_at(fmi, block)
+    y = (pos & CP_MASK).astype(jnp.uint32)
+    top = (~(jnp.uint32(0xFFFFFFFF) >> y)).astype(jnp.uint32)
+    pc = jax.lax.population_count(masks & top[..., None])
+    occs = counts + pc.astype(fmi.pos_dtype)
+    yb = (jnp.uint32(31) - y)
+    bits = (masks >> yb[..., None]) & jnp.uint32(1)
+    b = jnp.argmax(bits, axis=-1).astype(jnp.int32)
+    b = jnp.where(jnp.sum(bits, axis=-1) == 0, 4, b)
+    return occs, b

@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .occ import DeviceFMIndex, occ_all4, bwt_base_at
+from .occ import DeviceFMIndex, occ_and_base
 from .smem import SmemBuf
 
 
@@ -27,6 +27,11 @@ def sa_lookup(fmi: DeviceFMIndex, pos: jax.Array, valid: jax.Array
     """
     compx_mask = (1 << fmi.sa_compx) - 1
     pos_dtype = fmi.pos_dtype
+    if fmi.sa_compx == 0:
+        # full SA resident (memory-for-speed knob, like the
+        # reference's SA_COMPX build parameter): single gather.
+        out = fmi.sa_samples[pos.astype(jnp.int64)]
+        return jnp.where(valid, out, 0)
 
     def cond(st):
         sp, offset, active, done_val = st
@@ -39,12 +44,11 @@ def sa_lookup(fmi: DeviceFMIndex, pos: jax.Array, valid: jax.Array
         samp = fmi.sa_samples[(sp >> fmi.sa_compx).astype(jnp.int64)]
         done_val = jnp.where(take_sample, samp + offset, done_val)
         active = active & ~sampled
-        # LF step: bwt base at sp, then count[b] + occ(sp, b).
-        b = bwt_base_at(fmi, sp)
+        # LF step: one fused row gather gives both occ and BWT[sp].
+        occs, b = occ_and_base(fmi, sp)
         hit_sentinel = active & (b == 4)
         done_val = jnp.where(hit_sentinel, offset, done_val)
         active = active & ~hit_sentinel
-        occs = occ_all4(fmi, sp)
         bc = jnp.clip(b, 0, 3)[..., None]
         occ_b = jnp.take_along_axis(occs, bc, axis=-1)[..., 0]
         sp_new = fmi.count[jnp.clip(b, 0, 3)] + occ_b

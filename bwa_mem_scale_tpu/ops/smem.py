@@ -76,7 +76,8 @@ def _fwd_ext4(fmi, k, l, s, a):
 
 def extend_all_positions(fmi: DeviceFMIndex, codes, lens, min_intv,
                          check_initial: bool, want_fail: bool,
-                         stop_min_len: int = 0, fma=None):
+                         stop_min_len: int = 0, fma=None,
+                         p3_max_intv: int = 0, p3_stop: int = 0):
     """Forward-extend from every start position of every read at once.
 
     codes [B, L] int32, lens [B], min_intv [B] (per read/task).
@@ -89,6 +90,16 @@ def extend_all_positions(fmi: DeviceFMIndex, codes, lens, min_intv,
       (if want_fail) fail_s / fail_k / fail_l / fail_ss [B, L]: whether
       the sweep retired on an interval-size failure at column E(p), and
       that failing interval (pass-3 seeds *include* the failing step).
+
+    With p3_max_intv/p3_stop > 0 (requires check_initial and
+    min_intv == 1), the pass-1 sweep additionally records the 3rd-pass
+    seed-strategy failure point — the first step of length >= p3_stop
+    whose interval drops below p3_max_intv — since both passes walk the
+    identical (k, l, s) chain (the lanes pass 3 would zombie-walk past
+    an s=0 death carry no recoverable interval and are reconstructed
+    analytically in seed_strategy_merged). Adds f3_s/f3_E/f3_k/f3_l/
+    f3_ss/died_s outputs and saves an entire sweep vs running
+    bwtSeedStrategy separately.
     """
     B, L = codes.shape
     pos_dtype = fmi.pos_dtype
@@ -100,14 +111,20 @@ def extend_all_positions(fmi: DeviceFMIndex, codes, lens, min_intv,
     # table (ops/fma.py; the reference's smem-table short-cut,
     # src/FMI_search.cpp:1414-1463). K_eff must stay below the pass-3
     # stop length so no stop/fail can fire inside the window.
+    merge_p3 = p3_max_intv > 0 and p3_stop > 0
+    died_s = jnp.zeros((B, L), dtype=bool)
     K_eff = 0
     if fma is not None:
         K_eff = fma.K if stop_min_len <= 0 else min(fma.K,
                                                     stop_min_len - 1)
+        if merge_p3:
+            K_eff = min(K_eff, p3_stop - 1)
     if K_eff >= 2:
         from .fma import fast_forward
-        E, k, l, s, active = fast_forward(fmi, fma, codes, lens, mi,
-                                          check_initial, K_eff)
+        E, k, l, s, active, ff_died = fast_forward(
+            fmi, fma, codes, lens, mi, check_initial, K_eff)
+        if merge_p3:
+            died_s = ff_died
         off = K_eff - 1
     else:
         K_eff = 0
@@ -127,15 +144,28 @@ def extend_all_positions(fmi: DeviceFMIndex, codes, lens, min_intv,
     fail_k = jnp.zeros((B, L), dtype=pos_dtype)
     fail_l = jnp.zeros((B, L), dtype=pos_dtype)
     fail_ss = jnp.zeros((B, L), dtype=pos_dtype)
+    f3_s = jnp.zeros((B, L), dtype=bool)
+    f3_E = jnp.zeros((B, L), dtype=jnp.int32)
+    f3_k = jnp.zeros((B, L), dtype=pos_dtype)
+    f3_l = jnp.zeros((B, L), dtype=pos_dtype)
+    f3_ss = jnp.zeros((B, L), dtype=pos_dtype)
 
     def cond(st):
         return jnp.any(st[0])
 
+    # All lanes consume the same relative offset each step, so the
+    # next-base fetch is one contiguous dynamic slice of a padded copy
+    # (a per-lane gather here costs as much as the occ gather itself).
+    codes_pad = jnp.pad(codes, ((0, 0), (0, L + 2)), constant_values=4)
+
     def body(st):
-        (act, t, E, k, l, s, fs, fk, fl, fss) = st
+        (act, t, E, k, l, s, fs, fk, fl, fss, ds,
+         f3s, f3E, f3k, f3l, f3v) = st
         j = pcol + off + t
         in_range = j < lens[:, None]
-        a = jnp.take_along_axis(codes, jnp.minimum(j, L - 1), axis=1)
+        a = jax.lax.dynamic_slice(codes_pad,
+                                  (jnp.int32(0), jnp.int32(off) + t),
+                                  (B, L))
         is_n = a >= 4
         do = act & in_range & ~is_n
         nk, nl, ns = _fwd_ext4(fmi, k, l, s, jnp.clip(a, 0, 3))
@@ -156,16 +186,30 @@ def extend_all_positions(fmi: DeviceFMIndex, codes, lens, min_intv,
             fk = jnp.where(sfail, nk, fk)
             fl = jnp.where(sfail, nl, fl)
             fss = jnp.where(sfail, ns, fss)
-        return (keep, t + 1, E, k, l, s, fs, fk, fl, fss)
+        if merge_p3:
+            ds = ds | sfail
+            fire = (do & ~f3s & (ns < p3_max_intv)
+                    & ((off + t + 1) >= p3_stop))
+            f3s = f3s | fire
+            f3E = jnp.where(fire, j, f3E)
+            f3k = jnp.where(fire, nk, f3k)
+            f3l = jnp.where(fire, nl, f3l)
+            f3v = jnp.where(fire, ns, f3v)
+        return (keep, t + 1, E, k, l, s, fs, fk, fl, fss, ds,
+                f3s, f3E, f3k, f3l, f3v)
 
     st = (active, jnp.int32(1), E, k, l, s, fail_s, fail_k, fail_l,
-          fail_ss)
-    (_, _, E, k, l, s, fail_s, fail_k, fail_l, fail_ss) = \
+          fail_ss, died_s, f3_s, f3_E, f3_k, f3_l, f3_ss)
+    (_, _, E, k, l, s, fail_s, fail_k, fail_l, fail_ss, died_s,
+     f3_s, f3_E, f3_k, f3_l, f3_ss) = \
         jax.lax.while_loop(cond, body, st)
     out = dict(E=E, k=k, l=l, s=s, valid=base_ok)
     if want_fail:
         out.update(fail_s=fail_s, fail_k=fail_k, fail_l=fail_l,
                    fail_ss=fail_ss)
+    if merge_p3:
+        out.update(f3_s=f3_s, f3_E=f3_E, f3_k=f3_k, f3_l=f3_l,
+                   f3_ss=f3_ss, died_s=died_s)
     return out
 
 
@@ -323,6 +367,66 @@ def smems_seed_strategy(fmi: DeviceFMIndex, codes, lens, max_intv: int,
     return out
 
 
+def smems_seed_strategy_merged(fmi: DeviceFMIndex, codes, lens, ext,
+                               max_intv: int, stop_min_len: int,
+                               max_out: int) -> SmemBuf:
+    """Pass 3 reconstructed from the pass-1 sweep's merged f3 records
+    (see extend_all_positions). Lanes whose chain died at s=0 before
+    reaching stop_min_len are zombie-walked analytically: pass 3 keeps
+    stepping with an empty interval until the stop length, an N, or
+    the read end — none of which can emit a seed."""
+    B, L = codes.shape
+    pcol = jnp.arange(L, dtype=jnp.int32)[None, :]
+    in_read = pcol < lens[:, None]
+    base_ok = in_read & (codes < 4)
+
+    # first invalid offset at/after p: limit = that index - p
+    iota = jnp.arange(L, dtype=jnp.int32)[None, :]
+    inv = (codes >= 4) | (iota >= lens[:, None])
+    first_inv = jax.lax.cummin(jnp.where(inv, iota, L), axis=1,
+                               reverse=True)
+    limit = first_inv - pcol                       # [B, L] >= 0
+
+    a0c = jnp.clip(codes, 0, 3)
+    s1 = fmi.count[a0c + 1] - fmi.count[a0c]
+    died = ext["died_s"] | (base_ok & (s1 == 0))
+    f3 = ext["f3_s"]
+    zombie = base_ok & died & ~f3
+    zfail = zombie & (stop_min_len <= limit)
+    E3 = jnp.where(f3, ext["f3_E"],
+                   jnp.where(zfail, pcol + stop_min_len - 1,
+                             jnp.where(zombie, pcol + limit,
+                                       ext["E"])))
+    emit_col = base_ok & f3 & (ext["f3_ss"] > 0)
+    fail3 = f3 | zfail
+    hit_n = base_ok & ~fail3 & (E3 < lens[:, None])
+    nxt = jnp.where(base_ok & (fail3 | hit_n), E3 + 1,
+                    jnp.where(base_ok, lens[:, None], pcol + 1))
+    nxt = jnp.maximum(nxt, pcol + 1)
+
+    out = SmemBuf.empty(B, max_out, fmi.pos_dtype)
+    bidx = jnp.arange(B)
+
+    def cond(st):
+        return jnp.any(st[0] < lens)
+
+    def body(st):
+        pos, out = st
+        act = pos < lens
+        pc = jnp.minimum(pos, L - 1)
+        em = act & emit_col[bidx, pc]
+        out = out.emit(em, pos, E3[bidx, pc],
+                       ext["f3_k"][bidx, pc],
+                       ext["f3_l"][bidx, pc],
+                       ext["f3_ss"][bidx, pc])
+        pos = jnp.where(act, nxt[bidx, pc], pos)
+        return pos, out
+
+    pos0 = jnp.zeros((B,), dtype=jnp.int32)
+    _, out = jax.lax.while_loop(cond, body, (pos0, out))
+    return out
+
+
 def concat_smems(*bufs: SmemBuf) -> SmemBuf:
     return SmemBuf(
         jnp.concatenate([b.m for b in bufs], axis=1),
@@ -339,18 +443,34 @@ def collect_smems_device(fmi: DeviceFMIndex, codes, lens, *,
                          split_width: int, max_mem_intv: int,
                          max_out: int = None, fma=None):
     """All three seeding passes + final (m, n) sort
-    (mem_collect_smem, src/bwamem.cpp:648-795)."""
+    (mem_collect_smem, src/bwamem.cpp:648-795). Pass 1 and pass 3
+    share a single sweep (merged f3 records); only the re-seed pass
+    runs its own sweep over the compacted task list."""
     B, L = codes.shape
     M = max_out or L
     ones = jnp.ones((B,), dtype=jnp.int32)
-    p1 = smems_all_pos(fmi, codes, lens, ones, min_seed_len, M,
-                       fma=fma)
+    merge = max_mem_intv > 0
+    ext = extend_all_positions(
+        fmi, codes, lens, ones, check_initial=True, want_fail=False,
+        fma=fma,
+        p3_max_intv=max_mem_intv if merge else 0,
+        p3_stop=(min_seed_len + 1) if merge else 0)
+    # pass-1 emission from the shared sweep
+    E = ext["E"]
+    pcol = jnp.arange(L, dtype=jnp.int32)[None, :]
+    E_prev = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), E[:, :-1]], axis=1)
+    left_max = (pcol == 0) | (E_prev < E)
+    mask = left_max & ((E - pcol) >= min_seed_len)
+    p1 = _emit_compact(mask, pcol * jnp.ones((B, 1), jnp.int32),
+                       E - 1, ext["k"], ext["l"], ext["s"],
+                       SmemBuf.empty(B, M, fmi.pos_dtype))
     p2, _overflow = smems_reseed(fmi, codes, lens, p1, split_len,
                                  split_width, min_seed_len, M, fma=fma)
     parts = [p1, p2]
-    if max_mem_intv > 0:
-        parts.append(smems_seed_strategy(fmi, codes, lens, max_mem_intv,
-                                         min_seed_len + 1, M, fma=fma))
+    if merge:
+        parts.append(smems_seed_strategy_merged(
+            fmi, codes, lens, ext, max_mem_intv, min_seed_len + 1, M))
     combined = concat_smems(*parts)
     valid = jnp.concatenate(
         [jnp.arange(b.m.shape[1])[None, :] < b.cnt[:, None]

@@ -95,14 +95,20 @@ class BatchFinalizer:
             dp_ws.append(w)
         if not dp_jobs:
             return
-        QL = max(len(j.query) for j in dp_jobs)
-        TL = max(len(j.rseq) for j in dp_jobs)
-        P = len(dp_jobs)
+        # bucket shapes so the jitted DP compiles once and is reused
+        # across batches and retry rounds
+        def rup(x, m):
+            return ((x + m - 1) // m) * m
+
+        QL = rup(max(len(j.query) for j in dp_jobs), 32)
+        TL = rup(max(len(j.rseq) for j in dp_jobs), 64)
+        P = max(1 << int(np.ceil(np.log2(len(dp_jobs)))), 16)
         qs = np.zeros((P, QL), np.int32)
         ts = np.zeros((P, TL), np.int32)
         qlens = np.zeros(P, np.int32)
         tlens = np.zeros(P, np.int32)
-        ws = np.asarray(dp_ws, np.int32)
+        ws = np.ones(P, np.int32)
+        ws[: len(dp_ws)] = np.asarray(dp_ws, np.int32)
         for i, j in enumerate(dp_jobs):
             qs[i, : len(j.query)] = j.query
             ts[i, : len(j.rseq)] = j.rseq
