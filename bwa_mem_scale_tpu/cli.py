@@ -73,6 +73,10 @@ def cmd_index(argv):
     p = argparse.ArgumentParser(prog="bwa-mem-scale-tpu index")
     p.add_argument("fasta")
     p.add_argument("-p", dest="prefix", default=None)
+    p.add_argument("-s", dest="sa_compx", type=int, default=3,
+                   help="SA sampling shift: keep every 2^s-th entry "
+                        "(0 = full SA, fastest lookups; 3 = reference "
+                        "default)")
     args = p.parse_args(argv)
     from .index.bntseq import parse_fasta
     from .index.build import build_index
@@ -83,7 +87,7 @@ def cmd_index(argv):
     bns = parse_fasta(args.fasta)
     print(f"* l_pac={bns.l_pac} n_seqs={bns.n_seqs}; building index",
           file=sys.stderr)
-    idx = build_index(bns)
+    idx = build_index(bns, sa_compx=args.sa_compx)
     path = save_index(idx, prefix)
     print(f"* wrote {path} in {time.time() - t0:.1f}s", file=sys.stderr)
     return 0
@@ -115,7 +119,11 @@ def cmd_mem(argv):
         if emf is not None:
             print(f"* EMF perfect-match table loaded "
                   f"(seed_len={emf.seed_len})", file=sys.stderr)
-        aligner = TpuAligner(idx, opt, fma=fma, emf=emf)
+        ert = find_ert(args.prefix, idx)
+        if ert is not None:
+            print(f"* ERT index loaded (K={ert.K}, "
+                  f"{ert.n_nodes} nodes)", file=sys.stderr)
+        aligner = TpuAligner(idx, opt, fma=fma, emf=emf, ert=ert)
 
     out = sys.stdout if args.output == "-" else open(args.output, "w")
     rg_id = None
@@ -184,6 +192,46 @@ def find_fma(prefix: str):
     return None
 
 
+def cmd_ert_index(argv):
+    p = argparse.ArgumentParser(prog="bwa-mem-scale-tpu ert-index")
+    p.add_argument("prefix")
+    p.add_argument("-k", dest="kmer", type=int, default=None)
+    p.add_argument("--max-depth", type=int, default=None)
+    args = p.parse_args(argv)
+    from .index.artifacts import load_index
+    from .index.ert import (build_ert_from_index, save_ert,
+                            DEFAULT_ERT_K, DEFAULT_MAX_DEPTH)
+    idx = load_index(args.prefix)
+    t0 = time.time()
+    ert = build_ert_from_index(idx, K=args.kmer or DEFAULT_ERT_K,
+                               max_depth=args.max_depth
+                               or DEFAULT_MAX_DEPTH)
+    path = save_ert(ert, args.prefix)
+    print(f"* wrote {path} ({ert.n_nodes} nodes) in "
+          f"{time.time() - t0:.1f}s", file=sys.stderr)
+    return 0
+
+
+def find_ert(prefix: str, idx):
+    """Auto-load the ERT trie next to the index (requires a full-SA
+    index, the reference's ERT memory class)."""
+    import glob
+    from .index.ert import load_ert
+    for path in sorted(glob.glob(f"{prefix}.ert*.npz"), reverse=True):
+        try:
+            ert = load_ert(path)
+            if idx.sa_compx != 0:
+                print(f"* WARNING: {path} needs a full-SA index "
+                      f"(rebuild with index -s 0); ignoring",
+                      file=sys.stderr)
+                return None
+            return ert
+        except Exception as e:
+            print(f"* WARNING: ignoring unreadable ERT index {path}: "
+                  f"{e}", file=sys.stderr)
+    return None
+
+
 def find_emf(prefix: str):
     """Auto-load the EMF perfect-match table next to the index, if
     built (the reference auto-loads .perfect.<len>,
@@ -217,8 +265,8 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print("usage: bwa-mem-scale-tpu "
-              "{index,mem,smem-table,perfect-index,version} ...",
-              file=sys.stderr)
+              "{index,mem,smem-table,perfect-index,ert-index,version}"
+              " ...", file=sys.stderr)
         return 1
     cmd, rest = argv[0], argv[1:]
     if cmd == "index":
@@ -229,6 +277,8 @@ def main(argv=None):
         return cmd_smem_table(rest)
     if cmd == "perfect-index":
         return cmd_perfect_index(rest)
+    if cmd == "ert-index":
+        return cmd_ert_index(rest)
     if cmd == "version":
         print(__version__)
         return 0

@@ -131,18 +131,25 @@ def build_perfect_table(idx, seed_len: int = DEFAULT_SEED_LEN,
     ok = pos + S <= ends[np.minimum(ctg, len(ends) - 1)]
     pos = pos[ok]
 
-    fw_words = pack_words(win[ok])
-    rc = (3 - win[ok][:, ::-1]).astype(np.uint8)
-    rc_words = pack_words(rc)
-    # lexicographic fw <= rc via big-endian word compare
-    W = fw_words.shape[1]
-    fwless = np.ones(len(pos), dtype=bool)
-    decided = np.zeros(len(pos), dtype=bool)
-    for j in range(W):
-        d = ~decided & (fw_words[:, j] != rc_words[:, j])
-        fwless[d] = fw_words[d, j] < rc_words[d, j]
-        decided |= d
-    canon = np.where(fwless[:, None], fw_words, rc_words)
+    # canonicalize in chunks to bound the packing temporaries
+    W = (S + 31) // 32
+    P = len(pos)
+    canon = np.empty((P, W), dtype=np.uint64)
+    fwless = np.empty(P, dtype=bool)
+    CH = 1 << 18
+    for lo in range(0, P, CH):
+        hi = min(lo + CH, P)
+        w = win[pos[lo:hi]]
+        fw_words = pack_words(w)
+        rc_words = pack_words((3 - w[:, ::-1]).astype(np.uint8))
+        fl = np.ones(hi - lo, dtype=bool)
+        decided = np.zeros(hi - lo, dtype=bool)
+        for j in range(W):
+            d = ~decided & (fw_words[:, j] != rc_words[:, j])
+            fl[d] = fw_words[d, j] < rc_words[d, j]
+            decided |= d
+        fwless[lo:hi] = fl
+        canon[lo:hi] = np.where(fl[:, None], fw_words, rc_words)
 
     # group identical seeds (lexicographic row order)
     order = np.lexsort(tuple(canon[:, j] for j in range(W - 1, -1, -1)))

@@ -73,7 +73,7 @@ class PipelineConfig:
 
 def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
                       L: int, *, opt: MemOptions, cfg: "PipelineConfig",
-                      fma=None):
+                      fma=None, ert=None):
     """Device stage 1: seeding -> chaining -> extension for one batch.
 
     Free function so multi-chip wrappers (parallel/mesh.py) can shard it
@@ -83,11 +83,19 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
     bidx = jnp.arange(B)
     pos_dtype = fmi.pos_dtype
 
-    bufs = collect_smems_device(
-        fmi, codes, lens,
-        min_seed_len=opt.min_seed_len, split_len=opt.split_len,
-        split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
-        max_out=cfg.max_smem_out or L, fma=fma)
+    if ert is not None:
+        from ..ops.ert import collect_smems_ert
+        bufs = collect_smems_ert(
+            ert, fmi.ref, codes, lens,
+            min_seed_len=opt.min_seed_len, split_len=opt.split_len,
+            split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
+            max_out=cfg.max_smem_out or L, pos_dtype=fmi.pos_dtype)
+    else:
+        bufs = collect_smems_device(
+            fmi, codes, lens,
+            min_seed_len=opt.min_seed_len, split_len=opt.split_len,
+            split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
+            max_out=cfg.max_smem_out or L, fma=fma)
     rbeg, seed_idx, coord_valid, total = expand_and_lookup(
         fmi, bufs, opt.max_occ, cfg.max_coords)
     ch = chain_seeds_device(
@@ -323,7 +331,7 @@ class TpuAligner:
 
     def __init__(self, idx: FMIndex, opt: Optional[MemOptions] = None,
                  cfg: Optional[PipelineConfig] = None, fma=None,
-                 emf=None):
+                 emf=None, ert=None):
         self.idx = idx
         self.opt = opt or MemOptions()
         self.cfg = cfg or PipelineConfig()
@@ -331,6 +339,14 @@ class TpuAligner:
         self.dbns = DeviceBns.from_host(idx.bns)
         self.dfma = (fma.to_device(self.fmi.pos_dtype)
                      if fma is not None else None)
+        self.dert = None
+        if ert is not None:
+            from ..ops.ert import DeviceErt
+            if idx.sa_compx != 0:
+                raise ValueError("ERT mode needs a full-SA index "
+                                 "(build with sa_compx=0)")
+            self.dert = DeviceErt.from_host(ert, idx.sa_samples,
+                                            idx.count)
         self.emf = emf
         self.demf = None
         self.emf_hits = 0   # pprof-style outcome counter (bwamem.cpp:54)
@@ -340,9 +356,11 @@ class TpuAligner:
             from ..ops.emf import DeviceEmf, emf_lookup
             self.demf = DeviceEmf.from_host(emf)
             self._jit_emf = jax.jit(emf_lookup)
+        # fma is a jit argument, not a closure capture: captured arrays
+        # become jaxpr constants and get shipped with every compile
+        # request (oversized for GB-scale ladder tables).
         self._jit_extend = jax.jit(
-            partial(seed_chain_extend, opt=self.opt, cfg=self.cfg,
-                    fma=self.dfma),
+            partial(seed_chain_extend, opt=self.opt, cfg=self.cfg),
             static_argnames=("L",))
         self._jit_kswg = jax.jit(
             kswg.ksw_global_batch, static_argnames=())
@@ -373,7 +391,8 @@ class TpuAligner:
             "long-read seed SW filter not implemented"
         out = self._jit_extend(self.fmi, self.dbns,
                                jnp.asarray(codes, dtype=jnp.int32),
-                               jnp.asarray(lens, dtype=jnp.int32), L=L)
+                               jnp.asarray(lens, dtype=jnp.int32), L=L,
+                               fma=self.dfma, ert=self.dert)
         out = {k: np.asarray(v) for k, v in out.items()}
         is_alt = self.idx.bns.is_alt
         B = codes.shape[0]
