@@ -110,19 +110,34 @@ def cmd_mem(argv):
     from .utils.profiling import PROFILER
 
     with PROFILER.phase("index_load"):
-        idx = load_index(args.prefix)
-        fma = find_fma(args.prefix)
+        from . import store as _store
+        att = _store.attach(args.prefix)
+        if att is not None:
+            print(f"* attached in-memory index store at {att.root}",
+                  file=sys.stderr)
+            idx = _store.index_from_store(att.pieces["index"])
+            fma = (_store.fma_from_store(att.pieces["fma"])
+                   if att.has("fma") else None)
+            emf = (_store.emf_from_store(att.pieces["emf"])
+                   if att.has("emf") else None)
+            ert = (_store.ert_from_store(att.pieces["ert"])
+                   if att.has("ert") else None)
+        else:
+            idx = load_index(args.prefix)
+            fma = find_fma(args.prefix)
+            emf = find_emf(args.prefix)
+            ert = find_ert(args.prefix, idx)
         if fma is not None:
             print(f"* FMA ladder table loaded (K={fma.K})",
                   file=sys.stderr)
-        emf = find_emf(args.prefix)
         if emf is not None:
             print(f"* EMF perfect-match table loaded "
                   f"(seed_len={emf.seed_len})", file=sys.stderr)
-        ert = find_ert(args.prefix, idx)
-        if ert is not None:
+        if ert is not None and idx.sa_compx == 0:
             print(f"* ERT index loaded (K={ert.K}, "
                   f"{ert.n_nodes} nodes)", file=sys.stderr)
+        elif ert is not None:
+            ert = None
         aligner = TpuAligner(idx, opt, fma=fma, emf=emf, ert=ert)
 
     out = sys.stdout if args.output == "-" else open(args.output, "w")
@@ -265,8 +280,8 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print("usage: bwa-mem-scale-tpu "
-              "{index,mem,smem-table,perfect-index,ert-index,version}"
-              " ...", file=sys.stderr)
+              "{index,mem,smem-table,perfect-index,ert-index,"
+              "load-shm,remove-shm,version} ...", file=sys.stderr)
         return 1
     cmd, rest = argv[0], argv[1:]
     if cmd == "index":
@@ -279,6 +294,26 @@ def main(argv=None):
         return cmd_perfect_index(rest)
     if cmd == "ert-index":
         return cmd_ert_index(rest)
+    if cmd == "load-shm":
+        p = argparse.ArgumentParser(prog="bwa-mem-scale-tpu load-shm")
+        p.add_argument("prefix")
+        p.add_argument("-g", dest="budget_gb", type=float, default=None,
+                       help="memory budget in GB (MEMSCALE policy)")
+        a = p.parse_args(rest)
+        from . import store as _store
+        root = _store.stage(a.prefix, a.budget_gb,
+                            log=lambda m: print(m, file=sys.stderr))
+        print(f"* index store ready at {root}", file=sys.stderr)
+        return 0
+    if cmd == "remove-shm":
+        p = argparse.ArgumentParser(prog="bwa-mem-scale-tpu remove-shm")
+        p.add_argument("prefix")
+        a = p.parse_args(rest)
+        from . import store as _store
+        ok = _store.remove(a.prefix)
+        print("* removed" if ok else "* no store found",
+              file=sys.stderr)
+        return 0
     if cmd == "version":
         print(__version__)
         return 0
