@@ -121,12 +121,17 @@ def main():
     dev_rps = N_BATCHES * BATCH / dev_dt
     print(f"* device stage: {dev_rps:,.0f} reads/s", file=sys.stderr)
 
-    # End-to-end timing.
+    # End-to-end timing (dispatch-ahead pipeline, like the driver).
     t0 = time.time()
     total = 0
+    pending = None
     for codes, lens in batches:
-        aligner.align_and_finalize(codes, lens, id_offset=total)
+        h = aligner.dispatch_batch(codes, lens)
+        if pending is not None:
+            aligner.finalize_batch(pending[0], id_offset=pending[1])
+        pending = (h, total)
         total += len(lens)
+    aligner.finalize_batch(pending[0], id_offset=pending[1])
     dt = time.time() - t0
     rps = total / dt
     print(f"* end-to-end: {rps:,.0f} reads/s ({dt:.2f}s for {total})",

@@ -382,10 +382,8 @@ class TpuAligner:
     # Host finalization
     # ------------------------------------------------------------------
     def align_batch(self, codes: np.ndarray, lens: np.ndarray):
-        """codes [B, L] int (nt4), lens [B]. Returns per-read AlnReg
-        lists (post dedup + mark_primary)."""
-        opt = self.opt
-        bns = self.idx.bns
+        """codes [B, L] int (nt4), lens [B]. Returns per-read raw
+        AlnReg lists."""
         L = int(codes.shape[1])
         assert 5.5 * math.log(max(int(lens.max()), 2)) > 0.05 * L, \
             "long-read seed SW filter not implemented"
@@ -393,6 +391,9 @@ class TpuAligner:
                                jnp.asarray(codes, dtype=jnp.int32),
                                jnp.asarray(lens, dtype=jnp.int32), L=L,
                                fma=self.dfma, ert=self.dert)
+        return self._regs_from_device(out, codes)
+
+    def _regs_from_device(self, out, codes: np.ndarray):
         out = {k: np.asarray(v) for k, v in out.items()}
         is_alt = self.idx.bns.is_alt
         B = codes.shape[0]
@@ -418,37 +419,56 @@ class TpuAligner:
                 all_regs[i].append(a)
         return all_regs
 
-    def align_and_finalize(self, codes: np.ndarray, lens: np.ndarray,
-                           id_offset: int = 0):
-        """Full SE path to per-read SAM records (batched device CIGARs).
+    def dispatch_batch(self, codes: np.ndarray, lens: np.ndarray):
+        """Asynchronously launch the device stages (EMF probe + the
+        fused seed-chain-extend program) for one batch. Returns an
+        opaque handle for finalize_batch — the TPU equivalent of the
+        ktp pipeline's compute step overlapping the neighbours
+        (src/fastmap.cpp:470-509)."""
+        codes = np.ascontiguousarray(codes, dtype=np.int32)
+        lens = np.ascontiguousarray(lens, dtype=np.int32)
+        L = int(codes.shape[1])
+        assert 5.5 * math.log(max(int(lens.max()), 2)) > 0.05 * L, \
+            "long-read seed SW filter not implemented"
+        pm_dev = None
+        lens_dev = jnp.asarray(lens)
+        codes_dev = jnp.asarray(codes)
+        if self.demf is not None and L >= self.emf.seed_len:
+            from ..ops.emf import FW_MATCHED, RC_MATCHED
+            pm_dev = self._jit_emf(self.demf, self.fmi.ref, codes_dev,
+                                   lens_dev)
+            is_pm = ((pm_dev["code"] == FW_MATCHED)
+                     | (pm_dev["code"] == RC_MATCHED))
+            lens_dev = jnp.where(is_pm, 0, lens_dev)
+        out = self._jit_extend(self.fmi, self.dbns, codes_dev,
+                               lens_dev, L=L, fma=self.dfma,
+                               ert=self.dert)
+        return (codes, lens, pm_dev, out)
 
-        Perfect-matched reads (EMF) short-circuit the pipeline: their
-        lanes are zeroed for the device stage and their records come
-        straight from the table (mem_perfect2sam path)."""
+    def finalize_batch(self, handle, id_offset: int = 0):
+        """Host half of align_and_finalize for a dispatched batch."""
         from .finalize import BatchFinalizer
         opt = self.opt
         bns = self.idx.bns
         ref = self.idx.ref_string
+        codes, lens, pm_dev, out = handle
 
         pm_records = {}
-        lens_eff = np.asarray(lens)
-        pm = self.emf_filter(codes, lens)
-        if pm is not None:
+        if pm_dev is not None:
             from .perfect import perfect_sam_records
             from ..ops.emf import FW_MATCHED, RC_MATCHED
+            pm = {k: np.asarray(v) for k, v in pm_dev.items()}
             is_pm = ((pm["code"] == FW_MATCHED)
                      | (pm["code"] == RC_MATCHED))
             self.emf_checked += len(lens)
             self.emf_hits += int(is_pm.sum())
-            if is_pm.any():
-                lens_eff = np.where(is_pm, 0, lens_eff).astype(np.int32)
-                for i in np.flatnonzero(is_pm):
-                    read = codes[i, : lens[i]].astype(np.uint8)
-                    pm_records[int(i)] = perfect_sam_records(
-                        opt, bns, self.emf, ref, read,
-                        int(pm["code"][i]), int(pm["slot"][i]))
+            for i in np.flatnonzero(is_pm):
+                read = codes[i, : lens[i]].astype(np.uint8)
+                pm_records[int(i)] = perfect_sam_records(
+                    opt, bns, self.emf, ref, read,
+                    int(pm["code"][i]), int(pm["slot"][i]))
 
-        all_regs = self.align_batch(codes, lens_eff)
+        all_regs = self._regs_from_device(out, codes)
         queries = []
         finalized = []
         for i, regs in enumerate(all_regs):
@@ -462,6 +482,13 @@ class TpuAligner:
         for i, recs in pm_records.items():
             out_records[i] = recs
         return out_records
+
+    def align_and_finalize(self, codes: np.ndarray, lens: np.ndarray,
+                           id_offset: int = 0):
+        """Full SE path to per-read SAM records (batched device
+        CIGARs; EMF hits short-circuit via mem_perfect2sam)."""
+        return self.finalize_batch(self.dispatch_batch(codes, lens),
+                                   id_offset)
 
     def align_pairs_and_finalize(self, codes: np.ndarray,
                                  lens: np.ndarray, id_offset: int = 0):

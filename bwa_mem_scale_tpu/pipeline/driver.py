@@ -77,22 +77,8 @@ def run_alignment(aligner, fastq_paths: List[str], out,
     id_offset = 0
     opt = aligner.opt
     bns = aligner.idx.bns
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        batch = item
-        with PROFILER.phase("align_batch"):
-            codes, lens = batch.padded_codes()
-            if paired:
-                records_per_read, mates = aligner.align_pairs_and_finalize(
-                    codes.astype(np.int32), lens, id_offset)
-            else:
-                records_per_read = aligner.align_and_finalize(
-                    codes.astype(np.int32), lens, id_offset)
-                mates = [None] * len(batch)
+
+    def emit(batch, records_per_read, mates):
         with PROFILER.phase("sam_write"):
             for ri, (read, records) in enumerate(
                     zip(batch.reads, records_per_read)):
@@ -101,8 +87,42 @@ def run_alignment(aligner, fastq_paths: List[str], out,
                                               len(records), records,
                                               which, mate=mates[ri],
                                               rg_id=rg_id))
+
+    # SE path: software-pipeline the device stage against the host
+    # finalization of the previous batch (the reference's ktp
+    # pipeline, src/fastmap.cpp:307-509). PE keeps the simple loop
+    # (its rescue stage needs host results mid-batch).
+    pending = None   # (batch, handle, id_offset)
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        batch = item
+        codes, lens = batch.padded_codes()
+        if paired:
+            with PROFILER.phase("align_batch"):
+                records_per_read, mates = aligner.align_pairs_and_finalize(
+                    codes.astype(np.int32), lens, id_offset)
+            emit(batch, records_per_read, mates)
+        else:
+            with PROFILER.phase("dispatch"):
+                handle = aligner.dispatch_batch(
+                    codes.astype(np.int32), lens)
+            if pending is not None:
+                pbatch, phandle, poff = pending
+                with PROFILER.phase("align_batch"):
+                    recs = aligner.finalize_batch(phandle, poff)
+                emit(pbatch, recs, [None] * len(pbatch))
+            pending = (batch, handle, id_offset)
         n_reads += len(batch)
         id_offset += len(batch)
+    if pending is not None:
+        pbatch, phandle, poff = pending
+        with PROFILER.phase("align_batch"):
+            recs = aligner.finalize_batch(phandle, poff)
+        emit(pbatch, recs, [None] * len(pbatch))
     t.join()
     if getattr(aligner, "emf_checked", 0):
         print(f"* EMF perfect-match hits: {aligner.emf_hits}/"
