@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import gzip
+import subprocess
 from typing import Iterator, List, Optional
 
 import numpy as np
@@ -56,8 +57,36 @@ def _open_text(path: str):
     return open(path, "rt")
 
 
+def _iter_fastq_native(path: str) -> Iterator[Read]:
+    """4-line FASTQ via the native scanner (native/fastq.cpp)."""
+    from .native_fastq import scan_chunks
+    for ch in scan_chunks(path):
+        L = int(ch.seq_len.max()) if ch.n else 0
+        codes = ch.encode(L)
+        for i in range(ch.n):
+            yield Read(name=ch.name(i),
+                       seq=codes[i, : ch.seq_len[i]],
+                       qual=ch.qual(i), comment=ch.comment(i))
+
+
 def iter_fastx(path: str) -> Iterator[Read]:
-    """Iterate FASTQ or FASTA records (auto-detected per record)."""
+    """Iterate FASTQ or FASTA records. Plain 4-line FASTQ goes through
+    the native scanner when available (the reference's kseq path);
+    FASTA and anything irregular falls back to the Python parser."""
+    if path != "-":
+        try:
+            with (gzip.open(path, "rb") if path.endswith(".gz")
+                  else open(path, "rb")) as probe:
+                first = probe.read(1)
+            if first == b"@":
+                yield from _iter_fastq_native(path)
+                return
+        except (ImportError, OSError, subprocess.CalledProcessError):
+            pass
+    yield from _iter_fastx_py(path)
+
+
+def _iter_fastx_py(path: str) -> Iterator[Read]:
     with _open_text(path) as fh:
         while True:
             line = fh.readline()
