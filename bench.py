@@ -30,7 +30,7 @@ BWAMEM2_40CORE_EST = 330_000.0
 GENOME_BP = 4_600_000
 READ_LEN = 101
 BATCH = 4096
-N_BATCHES = 4
+N_BATCHES = 8
 ERR = 0.01
 FMA_K = 11
 
@@ -121,17 +121,27 @@ def main():
     dev_rps = N_BATCHES * BATCH / dev_dt
     print(f"* device stage: {dev_rps:,.0f} reads/s", file=sys.stderr)
 
-    # End-to-end timing (dispatch-ahead pipeline, like the driver).
+    # End-to-end timing: EMF-compacted stream with one device batch
+    # in flight (same machinery as the CLI driver).
+    from bwa_mem_scale_tpu.pipeline.stream import SeStream
+    stream = SeStream(aligner, BATCH, READ_LEN)
+    # warm the compacted-batch compile path (skip_emf variant)
+    stream.feed(*batches[0], 0)
+    stream.flush()
+    n_out = sum(1 for _ in stream.ready())
+    assert n_out == BATCH
+
+    stream = SeStream(aligner, BATCH, READ_LEN)
     t0 = time.time()
     total = 0
-    pending = None
+    n_out = 0
     for codes, lens in batches:
-        h = aligner.dispatch_batch(codes, lens)
-        if pending is not None:
-            aligner.finalize_batch(pending[0], id_offset=pending[1])
-        pending = (h, total)
+        stream.feed(codes, lens, total)
         total += len(lens)
-    aligner.finalize_batch(pending[0], id_offset=pending[1])
+        n_out += sum(1 for _ in stream.ready())
+    stream.flush()
+    n_out += sum(1 for _ in stream.ready())
+    assert n_out == total, (n_out, total)
     dt = time.time() - t0
     rps = total / dt
     print(f"* end-to-end: {rps:,.0f} reads/s ({dt:.2f}s for {total})",

@@ -19,7 +19,9 @@ import time
 import numpy as np
 
 from . import __version__
-from .config import MemOptions, MEM_F_ALL, MEM_F_SOFTCLIP
+from .config import (MemOptions, MEM_F_ALL, MEM_F_SOFTCLIP,
+                     MEM_F_NO_RESCUE, MEM_F_NOPAIRING,
+                     MEM_F_NO_MULTI)
 
 
 def _add_mem_opts(p: argparse.ArgumentParser):
@@ -36,9 +38,27 @@ def _add_mem_opts(p: argparse.ArgumentParser):
     p.add_argument("-O", type=str, default="6,6", dest="gap_open")
     p.add_argument("-E", type=str, default="1,1", dest="gap_ext")
     p.add_argument("-L", type=str, default="5,5", dest="clip_pen")
+    p.add_argument("-U", type=int, default=17, dest="pen_unpaired")
     p.add_argument("-T", type=int, default=30, dest="min_score")
+    p.add_argument("-D", type=float, default=0.50, dest="drop_ratio")
+    p.add_argument("-W", type=int, default=0, dest="min_chain_weight")
+    p.add_argument("-G", type=int, default=10000, dest="max_chain_gap")
+    p.add_argument("-m", type=int, default=50, dest="max_matesw")
+    p.add_argument("-S", action="store_true", dest="skip_rescue",
+                   help="skip mate rescue")
+    p.add_argument("-P", action="store_true", dest="skip_pairing",
+                   help="skip pairing (rescue still runs unless -S)")
     p.add_argument("-a", action="store_true", dest="output_all")
     p.add_argument("-Y", action="store_true", dest="softclip_supp")
+    p.add_argument("-M", action="store_true", dest="mark_secondary",
+                   help="mark shorter split hits as secondary")
+    p.add_argument("-C", action="store_true", dest="copy_comment",
+                   help="append FASTA/FASTQ comment to SAM")
+    p.add_argument("-j", action="store_true", dest="ignore_alt",
+                   help="treat ALT contigs as primary")
+    p.add_argument("-h", "--xa-hits", type=str, default="5,200",
+                   dest="xa_hits",
+                   help="max XA hits [primary,alt]")
     p.add_argument("-K", type=int, default=None, dest="chunk_bp",
                    help="process this many bp per batch (determinism)")
     p.add_argument("-p", action="store_true", dest="smart_pairing",
@@ -55,17 +75,31 @@ def _opts_from_args(args) -> MemOptions:
     o_del, o_ins = (int(x) for x in args.gap_open.split(","))
     e_del, e_ins = (int(x) for x in args.gap_ext.split(","))
     p5, p3 = (int(x) for x in args.clip_pen.split(","))
+    xa = [int(x) for x in args.xa_hits.split(",")]
     opt = MemOptions(
         a=args.match, b=args.mismatch, o_del=o_del, o_ins=o_ins,
         e_del=e_del, e_ins=e_ins, pen_clip5=p5, pen_clip3=p3,
         w=args.band_width, zdrop=args.zdrop,
         min_seed_len=args.min_seed_len, split_factor=args.split_factor,
         max_mem_intv=args.max_mem_intv, max_occ=args.max_occ,
-        T=args.min_score)
+        T=args.min_score, pen_unpaired=args.pen_unpaired,
+        drop_ratio=args.drop_ratio,
+        min_chain_weight=args.min_chain_weight,
+        max_chain_gap=args.max_chain_gap, max_matesw=args.max_matesw,
+        max_XA_hits=xa[0],
+        max_XA_hits_alt=xa[1] if len(xa) > 1 else 200,
+        copy_comment=args.copy_comment)
     if args.output_all:
         opt.flag |= MEM_F_ALL
     if args.softclip_supp:
         opt.flag |= MEM_F_SOFTCLIP
+    if args.skip_rescue:
+        opt.flag |= MEM_F_NO_RESCUE
+    if args.skip_pairing:
+        opt.flag |= MEM_F_NOPAIRING
+    if args.mark_secondary:
+        opt.flag |= MEM_F_NO_MULTI
+    opt.ignore_alt = args.ignore_alt
     return opt
 
 
@@ -94,7 +128,10 @@ def cmd_index(argv):
 
 
 def cmd_mem(argv):
-    p = argparse.ArgumentParser(prog="bwa-mem-scale-tpu mem")
+    # add_help off: -h is the reference's max-XA-hits option
+    p = argparse.ArgumentParser(prog="bwa-mem-scale-tpu mem",
+                                add_help=False)
+    p.add_argument("--help", action="help")
     p.add_argument("prefix")
     p.add_argument("fastq", nargs="+")
     p.add_argument("-o", dest="output", default="-")

@@ -80,6 +80,7 @@ class MemOptions:
     # Paired-end.
     max_ins: int = 10000
     max_matesw: int = 50
+    copy_comment: bool = False   # -C: append FASTQ comment to SAM
     # Infra.
     chunk_size: int = 10000000
     n_threads: int = 1

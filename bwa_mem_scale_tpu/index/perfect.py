@@ -232,6 +232,64 @@ def build_perfect_table(idx, seed_len: int = DEFAULT_SEED_LEN,
                         ml_off=ml_off, ml_nfw=ml_nfw, ml_locs=ml_locs)
 
 
+def emf_lookup_host(pt: PerfectTable, ref: np.ndarray,
+                    codes: np.ndarray, lens: np.ndarray):
+    """NumPy twin of ops/emf.emf_lookup, used by the streaming driver
+    so the EMF probe never synchronizes the device queue (a device
+    fetch would drain the in-flight extend batch). Must match the
+    device kernel's results exactly."""
+    B, L = codes.shape
+    S = pt.seed_len
+    lens = np.asarray(lens)
+    iota = np.arange(L)
+    in_len = iota[None, :] < lens[:, None]
+    has_n = np.any(in_len & (codes >= 4), axis=1)
+    too_short = lens < S
+
+    fw = np.clip(codes[:, :S], 0, 3).astype(np.uint8)
+    rcs = (3 - fw[:, ::-1]).astype(np.uint8)
+    ridx = np.clip(lens[:, None] - 1 - iota[None, :], 0, L - 1)
+    rcr = 3 - np.clip(np.take_along_axis(codes, ridx, axis=1), 0, 3)
+
+    neq = fw != rcs
+    first = np.argmax(neq, axis=1)
+    any_neq = neq.any(axis=1)
+    bidx = np.arange(B)
+    fwle = np.where(any_neq, fw[bidx, first] < rcs[bidx, first], True)
+    canon = np.where(fwle[:, None], fw, rcs)
+
+    words = pack_words(canon)
+    h = hash_words(words, S)
+    fpq = (h >> np.uint64(32)).astype(np.uint32)
+    ncap = len(pt.loc)
+    mask = np.uint64(ncap - 1)
+    P = max(pt.max_probe, 1)
+    slots = ((h[:, None] + np.arange(P, dtype=np.uint64)[None, :])
+             & mask).astype(np.int64)
+    loc_p = pt.loc[slots]
+    alive = np.cumprod(loc_p >= 0, axis=1).astype(bool)
+    cand = alive & (pt.fp[slots] == fpq[:, None])
+    sel = np.argmax(cand, axis=1)
+    has_cand = cand.any(axis=1)
+    slot = slots[bidx, sel]
+    loc = np.where(has_cand, loc_p[bidx, sel], 0)
+
+    pos_rc = loc - (lens - S).astype(np.int64)
+    okf = loc + lens <= pt.l_pac
+    okr = pos_rc >= 0
+    l2 = len(ref)
+    reff = ref[np.clip(loc[:, None] + iota[None, :], 0, l2 - 1)]
+    refr = ref[np.clip(pos_rc[:, None] + iota[None, :], 0, l2 - 1)]
+    fwm = has_cand & okf & np.all(~in_len | (reff == codes), axis=1)
+    rcm = has_cand & okr & np.all(~in_len | (refr == rcr), axis=1)
+    code = np.where(too_short, 0,
+                    np.where(has_n, 1,
+                             np.where(fwm, 3, np.where(rcm, 4, 2))))
+    return dict(code=code.astype(np.int32), slot=slot.astype(np.int32),
+                loc=np.where(fwm | rcm, loc, -1),
+                n_loc=np.where(has_cand, pt.cnt[slot], 0))
+
+
 def save_perfect_table(pt: PerfectTable, prefix: str) -> str:
     path = f"{prefix}.emf{pt.seed_len}.npz"
     np.savez(path, seed_len=np.int64(pt.seed_len),

@@ -131,6 +131,6 @@ def aln_to_sam_line(opt: MemOptions, bns, read, n: int, records: List[Aln],
             tags.append(f"pa:f:{p.score / p.alt_sc:.3f}")
     if p.XA:
         tags.append(f"XA:Z:{p.XA}")
-    if read.comment:
-        tags.append(read.comment)
+    if read.comment and getattr(opt, "copy_comment", False):
+        tags.append(read.comment)   # -C (bseq copy_comment)
     return "\t".join(cols + tags) + "\n"

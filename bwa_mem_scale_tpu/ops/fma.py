@@ -125,7 +125,7 @@ def load_fma(path: str) -> FmaTable:
 
 
 def fast_forward(fmi: DeviceFMIndex, fma: DeviceFmaTable, codes, lens,
-                 mi, check_initial: bool, K_eff: int):
+                 mi, check_initial: bool, K_eff: int, n_pos: int = 0):
     """Resolve the first K_eff extension steps of every (read, pos) lane
     from the ladder table.
 
@@ -141,12 +141,13 @@ def fast_forward(fmi: DeviceFMIndex, fma: DeviceFmaTable, codes, lens,
       active = lane still extending after the window.
     """
     B, L = codes.shape
+    P = n_pos or L
     K = fma.K
     pos_dtype = fmi.pos_dtype
-    pcol = jnp.arange(L, dtype=jnp.int32)[None, :]
+    pcol = jnp.arange(P, dtype=jnp.int32)[None, :]
 
     codes_pad = jnp.pad(codes, ((0, 0), (0, K)), constant_values=4)
-    w = jnp.stack([codes_pad[:, i:i + L] for i in range(K)], axis=-1)
+    w = jnp.stack([codes_pad[:, i:i + P] for i in range(K)], axis=-1)
     in_read = (pcol[..., None] + jnp.arange(K, dtype=jnp.int32)
                ) < lens[:, None, None]
     base_ok = (w >= 0) & (w < 4) & in_read                    # [B, L, K]
@@ -168,8 +169,8 @@ def fast_forward(fmi: DeviceFMIndex, fma: DeviceFmaTable, codes, lens,
 
     jm1 = jnp.maximum(jstar - 1, 0)
     flat = (km * K + jm1).reshape(-1)
-    k = fma.ladder_k.reshape(-1)[flat].reshape(B, L)
-    l = fma.ladder_l.reshape(-1)[flat].reshape(B, L)
+    k = fma.ladder_k.reshape(-1)[flat].reshape(B, P)
+    l = fma.ladder_l.reshape(-1)[flat].reshape(B, P)
     s = jnp.take_along_axis(s_lad, jm1[..., None], axis=-1)[..., 0]
 
     has = jstar >= 1

@@ -31,6 +31,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .occ import DeviceFMIndex, backward_ext_all4
 
@@ -77,7 +78,8 @@ def _fwd_ext4(fmi, k, l, s, a):
 def extend_all_positions(fmi: DeviceFMIndex, codes, lens, min_intv,
                          check_initial: bool, want_fail: bool,
                          stop_min_len: int = 0, fma=None,
-                         p3_max_intv: int = 0, p3_stop: int = 0):
+                         p3_max_intv: int = 0, p3_stop: int = 0,
+                         n_pos: int = 0):
     """Forward-extend from every start position of every read at once.
 
     codes [B, L] int32, lens [B], min_intv [B] (per read/task).
@@ -102,17 +104,19 @@ def extend_all_positions(fmi: DeviceFMIndex, codes, lens, min_intv,
     bwtSeedStrategy separately.
     """
     B, L = codes.shape
+    P = n_pos or L   # start columns; no emission can start past
+                     # L - min_seed_len, so callers restrict the sweep
     pos_dtype = fmi.pos_dtype
-    pcol = jnp.arange(L, dtype=jnp.int32)[None, :]
+    pcol = jnp.arange(P, dtype=jnp.int32)[None, :]
     mi = min_intv.astype(pos_dtype)[:, None]
-    base_ok = (pcol < lens[:, None]) & (codes < 4)
+    base_ok = (pcol < lens[:, None]) & (codes[:, :P] < 4)
 
     # FMA fast path: resolve the first K_eff steps from the ladder
     # table (ops/fma.py; the reference's smem-table short-cut,
     # src/FMI_search.cpp:1414-1463). K_eff must stay below the pass-3
     # stop length so no stop/fail can fire inside the window.
     merge_p3 = p3_max_intv > 0 and p3_stop > 0
-    died_s = jnp.zeros((B, L), dtype=bool)
+    died_s = jnp.zeros((B, P), dtype=bool)
     K_eff = 0
     if fma is not None:
         K_eff = fma.K if stop_min_len <= 0 else min(fma.K,
@@ -122,14 +126,14 @@ def extend_all_positions(fmi: DeviceFMIndex, codes, lens, min_intv,
     if K_eff >= 2:
         from .fma import fast_forward
         E, k, l, s, active, ff_died = fast_forward(
-            fmi, fma, codes, lens, mi, check_initial, K_eff)
+            fmi, fma, codes, lens, mi, check_initial, K_eff, n_pos=P)
         if merge_p3:
             died_s = ff_died
         off = K_eff - 1
     else:
         K_eff = 0
         off = 0
-        a0c = jnp.clip(codes, 0, 3)
+        a0c = jnp.clip(codes[:, :P], 0, 3)
         k = fmi.count[a0c]
         l = fmi.count[3 - a0c]
         s = fmi.count[a0c + 1] - fmi.count[a0c]
@@ -140,15 +144,15 @@ def extend_all_positions(fmi: DeviceFMIndex, codes, lens, min_intv,
         l = jnp.where(active, l, 0)
         s = jnp.where(active, s, 0)
 
-    fail_s = jnp.zeros((B, L), dtype=bool)
-    fail_k = jnp.zeros((B, L), dtype=pos_dtype)
-    fail_l = jnp.zeros((B, L), dtype=pos_dtype)
-    fail_ss = jnp.zeros((B, L), dtype=pos_dtype)
-    f3_s = jnp.zeros((B, L), dtype=bool)
-    f3_E = jnp.zeros((B, L), dtype=jnp.int32)
-    f3_k = jnp.zeros((B, L), dtype=pos_dtype)
-    f3_l = jnp.zeros((B, L), dtype=pos_dtype)
-    f3_ss = jnp.zeros((B, L), dtype=pos_dtype)
+    fail_s = jnp.zeros((B, P), dtype=bool)
+    fail_k = jnp.zeros((B, P), dtype=pos_dtype)
+    fail_l = jnp.zeros((B, P), dtype=pos_dtype)
+    fail_ss = jnp.zeros((B, P), dtype=pos_dtype)
+    f3_s = jnp.zeros((B, P), dtype=bool)
+    f3_E = jnp.zeros((B, P), dtype=jnp.int32)
+    f3_k = jnp.zeros((B, P), dtype=pos_dtype)
+    f3_l = jnp.zeros((B, P), dtype=pos_dtype)
+    f3_ss = jnp.zeros((B, P), dtype=pos_dtype)
 
     def cond(st):
         return jnp.any(st[0])
@@ -165,7 +169,7 @@ def extend_all_positions(fmi: DeviceFMIndex, codes, lens, min_intv,
         in_range = j < lens[:, None]
         a = jax.lax.dynamic_slice(codes_pad,
                                   (jnp.int32(0), jnp.int32(off) + t),
-                                  (B, L))
+                                  (B, P))
         is_n = a >= 4
         do = act & in_range & ~is_n
         nk, nl, ns = _fwd_ext4(fmi, k, l, s, jnp.clip(a, 0, 3))
@@ -271,7 +275,8 @@ def smems_all_pos(fmi: DeviceFMIndex, codes, lens, min_intv,
 
 def smems_reseed(fmi: DeviceFMIndex, codes, lens, pass1: SmemBuf,
                  split_len: int, split_width: int, min_seed_len: int,
-                 max_out: int, max_tasks: int = 0, fma=None):
+                 max_out: int, max_tasks: int = 0, fma=None,
+                 n_pos: int = 0):
     """Pass 2: re-seed at midpoints of long low-occ pass-1 SMEMs.
 
     Each qualifying SMEM becomes a (read, x, min_intv=s+1) task; tasks
@@ -303,12 +308,13 @@ def smems_reseed(fmi: DeviceFMIndex, codes, lens, pass1: SmemBuf,
                         jnp.int32(4))
     lens_t = jnp.where(t_valid, lens[t_read], 0)
 
+    P = n_pos or L
     ext = extend_all_positions(fmi, codes_t, lens_t,
                                t_min_intv.astype(jnp.int32),
                                check_initial=True, want_fail=False,
-                               fma=fma)
+                               fma=fma, n_pos=P)
     E = ext["E"]
-    pcol = jnp.arange(L, dtype=jnp.int32)[None, :]
+    pcol = jnp.arange(P, dtype=jnp.int32)[None, :]
     E_prev = jnp.concatenate(
         [jnp.zeros((T, 1), jnp.int32), E[:, :-1]], axis=1)
     left_max = (pcol == 0) | (E_prev < E)
@@ -369,25 +375,27 @@ def smems_seed_strategy(fmi: DeviceFMIndex, codes, lens, max_intv: int,
 
 def smems_seed_strategy_merged(fmi: DeviceFMIndex, codes, lens, ext,
                                max_intv: int, stop_min_len: int,
-                               max_out: int) -> SmemBuf:
+                               max_out: int, n_pos: int = 0) -> SmemBuf:
     """Pass 3 reconstructed from the pass-1 sweep's merged f3 records
     (see extend_all_positions). Lanes whose chain died at s=0 before
     reaching stop_min_len are zombie-walked analytically: pass 3 keeps
     stepping with an empty interval until the stop length, an N, or
     the read end — none of which can emit a seed."""
     B, L = codes.shape
-    pcol = jnp.arange(L, dtype=jnp.int32)[None, :]
+    P = n_pos or L
+    pcol = jnp.arange(P, dtype=jnp.int32)[None, :]
     in_read = pcol < lens[:, None]
-    base_ok = in_read & (codes < 4)
+    base_ok = in_read & (codes[:, :P] < 4)
 
     # first invalid offset at/after p: limit = that index - p
+    # (scanned over the FULL read, then restricted to start columns)
     iota = jnp.arange(L, dtype=jnp.int32)[None, :]
     inv = (codes >= 4) | (iota >= lens[:, None])
     first_inv = jax.lax.cummin(jnp.where(inv, iota, L), axis=1,
-                               reverse=True)
-    limit = first_inv - pcol                       # [B, L] >= 0
+                               reverse=True)[:, :P]
+    limit = first_inv - pcol                       # [B, P] >= 0
 
-    a0c = jnp.clip(codes, 0, 3)
+    a0c = jnp.clip(codes[:, :P], 0, 3)
     s1 = fmi.count[a0c + 1] - fmi.count[a0c]
     died = ext["died_s"] | (base_ok & (s1 == 0))
     f3 = ext["f3_s"]
@@ -407,13 +415,14 @@ def smems_seed_strategy_merged(fmi: DeviceFMIndex, codes, lens, ext,
     out = SmemBuf.empty(B, max_out, fmi.pos_dtype)
     bidx = jnp.arange(B)
 
+    # the chase can stop once past the last possible start column
     def cond(st):
-        return jnp.any(st[0] < lens)
+        return jnp.any((st[0] < lens) & (st[0] < P))
 
     def body(st):
         pos, out = st
-        act = pos < lens
-        pc = jnp.minimum(pos, L - 1)
+        act = (pos < lens) & (pos < P)
+        pc = jnp.minimum(pos, P - 1)
         em = act & emit_col[bidx, pc]
         out = out.emit(em, pos, E3[bidx, pc],
                        ext["f3_k"][bidx, pc],
@@ -448,16 +457,18 @@ def collect_smems_device(fmi: DeviceFMIndex, codes, lens, *,
     runs its own sweep over the compacted task list."""
     B, L = codes.shape
     M = max_out or L
+    # no SMEM can start past L - min_seed_len: skip those sweep lanes
+    P = int(np.clip(L - min_seed_len + 1, 1, L))
     ones = jnp.ones((B,), dtype=jnp.int32)
     merge = max_mem_intv > 0
     ext = extend_all_positions(
         fmi, codes, lens, ones, check_initial=True, want_fail=False,
         fma=fma,
         p3_max_intv=max_mem_intv if merge else 0,
-        p3_stop=(min_seed_len + 1) if merge else 0)
+        p3_stop=(min_seed_len + 1) if merge else 0, n_pos=P)
     # pass-1 emission from the shared sweep
     E = ext["E"]
-    pcol = jnp.arange(L, dtype=jnp.int32)[None, :]
+    pcol = jnp.arange(P, dtype=jnp.int32)[None, :]
     E_prev = jnp.concatenate(
         [jnp.zeros((B, 1), jnp.int32), E[:, :-1]], axis=1)
     left_max = (pcol == 0) | (E_prev < E)
@@ -466,11 +477,13 @@ def collect_smems_device(fmi: DeviceFMIndex, codes, lens, *,
                        E - 1, ext["k"], ext["l"], ext["s"],
                        SmemBuf.empty(B, M, fmi.pos_dtype))
     p2, _overflow = smems_reseed(fmi, codes, lens, p1, split_len,
-                                 split_width, min_seed_len, M, fma=fma)
+                                 split_width, min_seed_len, M, fma=fma,
+                                 n_pos=P)
     parts = [p1, p2]
     if merge:
         parts.append(smems_seed_strategy_merged(
-            fmi, codes, lens, ext, max_mem_intv, min_seed_len + 1, M))
+            fmi, codes, lens, ext, max_mem_intv, min_seed_len + 1, M,
+            n_pos=P))
     combined = concat_smems(*parts)
     valid = jnp.concatenate(
         [jnp.arange(b.m.shape[1])[None, :] < b.cnt[:, None]

@@ -419,7 +419,8 @@ class TpuAligner:
                 all_regs[i].append(a)
         return all_regs
 
-    def dispatch_batch(self, codes: np.ndarray, lens: np.ndarray):
+    def dispatch_batch(self, codes: np.ndarray, lens: np.ndarray,
+                       skip_emf: bool = False):
         """Asynchronously launch the device stages (EMF probe + the
         fused seed-chain-extend program) for one batch. Returns an
         opaque handle for finalize_batch — the TPU equivalent of the
@@ -433,7 +434,8 @@ class TpuAligner:
         pm_dev = None
         lens_dev = jnp.asarray(lens)
         codes_dev = jnp.asarray(codes)
-        if self.demf is not None and L >= self.emf.seed_len:
+        if (not skip_emf and self.demf is not None
+                and L >= self.emf.seed_len):
             from ..ops.emf import FW_MATCHED, RC_MATCHED
             pm_dev = self._jit_emf(self.demf, self.fmi.ref, codes_dev,
                                    lens_dev)
@@ -445,8 +447,19 @@ class TpuAligner:
                                ert=self.dert)
         return (codes, lens, pm_dev, out)
 
-    def finalize_batch(self, handle, id_offset: int = 0):
-        """Host half of align_and_finalize for a dispatched batch."""
+    def finalize_batch(self, handle, id_offset: int = 0,
+                       read_ids=None):
+        """Host half of align_and_finalize for a dispatched batch.
+        read_ids (optional) carries the true global read ids for the
+        hash_64 tiebreaks when the batch is a compacted backlog."""
+        return self.finalize_stage_b(
+            self.finalize_stage_a(handle, id_offset, read_ids))
+
+    def finalize_stage_a(self, handle, id_offset: int = 0,
+                         read_ids=None):
+        """Fetch extend results, run the per-read host work, and
+        dispatch the CIGAR DP asynchronously (3-stage pipeline:
+        extend | cigar | records)."""
         from .finalize import BatchFinalizer
         opt = self.opt
         bns = self.idx.bns
@@ -475,10 +488,16 @@ class TpuAligner:
             query = codes[i, : lens[i]].astype(np.uint8)
             queries.append(query)
             regs = sort_dedup_patch(opt, bns, ref, query, regs)
-            regs, _ = mark_primary(opt, regs, id_offset + i)
+            rid = read_ids[i] if read_ids is not None else id_offset + i
+            regs, _ = mark_primary(opt, regs, rid)
             finalized.append(regs)
         fin = BatchFinalizer(opt, self.idx)
-        out_records = fin.records_for_batch(queries, finalized)
+        state = fin.begin_batch(queries, finalized)
+        return (fin, state, pm_records)
+
+    def finalize_stage_b(self, stage):
+        fin, state, pm_records = stage
+        out_records = fin.complete_batch(state)
         for i, recs in pm_records.items():
             out_records[i] = recs
         return out_records

@@ -88,11 +88,23 @@ def run_alignment(aligner, fastq_paths: List[str], out,
                                               which, mate=mates[ri],
                                               rg_id=rg_id))
 
-    # SE path: software-pipeline the device stage against the host
-    # finalization of the previous batch (the reference's ktp
-    # pipeline, src/fastmap.cpp:307-509). PE keeps the simple loop
-    # (its rescue stage needs host results mid-batch).
-    pending = None   # (batch, handle, id_offset)
+    # SE path: EMF-compacted streaming with one device batch in
+    # flight (pipeline/stream.py); records re-emitted in input order.
+    # PE keeps the simple loop (its rescue stage needs host results
+    # mid-batch).
+    from .stream import SeStream
+    stream = None
+    reads_by_id = {}
+
+    def emit_ready():
+        for rid, records in stream.ready():
+            read = reads_by_id.pop(rid)
+            with PROFILER.phase("sam_write"):
+                for which in range(len(records)):
+                    out.write(aln_to_sam_line(opt, bns, read,
+                                              len(records), records,
+                                              which, rg_id=rg_id))
+
     while True:
         item = q.get()
         if item is None:
@@ -107,22 +119,21 @@ def run_alignment(aligner, fastq_paths: List[str], out,
                     codes.astype(np.int32), lens, id_offset)
             emit(batch, records_per_read, mates)
         else:
-            with PROFILER.phase("dispatch"):
-                handle = aligner.dispatch_batch(
-                    codes.astype(np.int32), lens)
-            if pending is not None:
-                pbatch, phandle, poff = pending
-                with PROFILER.phase("align_batch"):
-                    recs = aligner.finalize_batch(phandle, poff)
-                emit(pbatch, recs, [None] * len(pbatch))
-            pending = (batch, handle, id_offset)
+            if stream is None:
+                stream = SeStream(aligner, batch_reads,
+                                  int(codes.shape[1]))
+            for ri, read in enumerate(batch.reads):
+                reads_by_id[id_offset + ri] = read
+            with PROFILER.phase("align_batch"):
+                stream.feed(codes.astype(np.int32), lens, id_offset)
+            emit_ready()
         n_reads += len(batch)
         id_offset += len(batch)
-    if pending is not None:
-        pbatch, phandle, poff = pending
+    if stream is not None:
         with PROFILER.phase("align_batch"):
-            recs = aligner.finalize_batch(phandle, poff)
-        emit(pbatch, recs, [None] * len(pbatch))
+            stream.flush()
+        emit_ready()
+        assert not reads_by_id, "unemitted reads remain"
     t.join()
     if getattr(aligner, "emf_checked", 0):
         print(f"* EMF perfect-match hits: {aligner.emf_hits}/"

@@ -43,19 +43,30 @@ class BatchFinalizer:
         self.idx = idx
 
     # -- core: batched gen_cigar with the reg2aln retry loop --------------
-    def _resolve_jobs(self, jobs: List[_Job]) -> None:
+    def _resolve_begin(self, jobs: List[_Job]):
+        """Dispatch the first (and almost always only) CIGAR DP round
+        asynchronously; returns a context for _resolve_complete."""
         opt = self.opt
         if not jobs:
+            return None
+        for j in jobs:
+            j.w2 = min(j.w2, opt.w << 2)
+        dp_jobs, res = self._gen_cigar_dispatch(
+            jobs, [j.w2 for j in jobs])
+        return (jobs, dp_jobs, res)
+
+    def _resolve_complete(self, ctx) -> None:
+        """Collect the first round and run the (rare) band-widening
+        retries synchronously (mem_reg2aln's w2 loop)."""
+        if ctx is None:
             return
+        opt = self.opt
+        jobs, dp_jobs, res = ctx
+        self._gen_cigar_collect(dp_jobs, res)
         last_sc = {id(j): -(1 << 30) for j in jobs}
-        rounds = 0
         active = list(jobs)
-        while active and rounds < 4:
-            w2s = []
-            for j in active:
-                j.w2 = min(j.w2, opt.w << 2)
-                w2s.append(j.w2)
-            self._run_gen_cigar(active, w2s)
+        rounds = 0
+        while True:
             nxt = []
             for j in active:
                 if j.score == last_sc[id(j)] or j.w2 == opt.w << 2:
@@ -64,13 +75,24 @@ class BatchFinalizer:
                 j.w2 <<= 1
                 if j.score < j.truesc - opt.a:
                     nxt.append(j)
-            # the i < 3 bound: after 3 widenings stop regardless
             rounds += 1
-            active = nxt if rounds < 4 else []
+            # the i < 3 bound: after 3 widenings stop regardless
+            if not nxt or rounds >= 4:
+                break
+            for j in nxt:
+                j.w2 = min(j.w2, opt.w << 2)
+            dp2, res2 = self._gen_cigar_dispatch(
+                nxt, [j.w2 for j in nxt])
+            self._gen_cigar_collect(dp2, res2)
+            active = nxt
 
-    def _run_gen_cigar(self, jobs: List[_Job], w2s: List[int]) -> None:
+    def _resolve_jobs(self, jobs: List[_Job]) -> None:
+        self._resolve_complete(self._resolve_begin(jobs))
+
+    def _gen_cigar_dispatch(self, jobs: List[_Job], w2s: List[int]):
         """One gen_cigar round over a job list (bwa_gen_cigar2 band
-        selection + batched global DP)."""
+        selection + batched global DP); returns (dp_jobs, device res)
+        without fetching."""
         opt = self.opt
         mat00 = int(opt.mat[0, 0])
         dp_jobs, dp_ws = [], []
@@ -94,7 +116,7 @@ class BatchFinalizer:
             dp_jobs.append(j)
             dp_ws.append(w)
         if not dp_jobs:
-            return
+            return [], None
         # bucket shapes so the jitted DP compiles once and is reused
         # across batches and retry rounds
         def rup(x, m):
@@ -118,6 +140,11 @@ class BatchFinalizer:
             jnp.asarray(qs), jnp.asarray(qlens), jnp.asarray(ts),
             jnp.asarray(tlens), jnp.asarray(ws),
             opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, opt.mat)
+        return dp_jobs, res
+
+    def _gen_cigar_collect(self, dp_jobs, res) -> None:
+        if not dp_jobs:
+            return
         score = np.asarray(res.score)
         ops = np.asarray(res.ops)
         n_ops = np.asarray(res.n_ops)
@@ -195,6 +222,13 @@ class BatchFinalizer:
     def records_for_batch(self, queries: List[np.ndarray],
                           regs_per_read: List[List[AlnReg]],
                           extra_flag: int = 0) -> List[List[Aln]]:
+        return self.complete_batch(
+            self.begin_batch(queries, regs_per_read, extra_flag))
+
+    def begin_batch(self, queries: List[np.ndarray],
+                    regs_per_read: List[List[AlnReg]],
+                    extra_flag: int = 0):
+        """Plan jobs + dispatch the CIGAR DP asynchronously."""
         opt = self.opt
         bns = self.idx.bns
         jobs: List[_Job] = []
@@ -250,7 +284,14 @@ class BatchFinalizer:
                 selected.append((k, jb))
             plans.append((selected, xa_jobs))
 
-        self._resolve_jobs(jobs)
+        ctx = self._resolve_begin(jobs)
+        return (queries, regs_per_read, plans, ctx, extra_flag)
+
+    def complete_batch(self, state) -> List[List[Aln]]:
+        queries, regs_per_read, plans, ctx, extra_flag = state
+        opt = self.opt
+        bns = self.idx.bns
+        self._resolve_complete(ctx)
 
         out: List[List[Aln]] = []
         for i, (query, regs) in enumerate(zip(queries, regs_per_read)):

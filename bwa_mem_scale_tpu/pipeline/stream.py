@@ -1,0 +1,132 @@
+"""Streaming SE aligner with EMF backlog compaction.
+
+The reference's EMF win is that perfect-matched reads skip
+seeding/chaining/extension entirely (src/bwamem.cpp:1085-1130). With
+fixed-shape device batches, zeroing their lanes only shrinks the
+extension stage; the full win needs re-batching: perfect reads are
+resolved straight from the table and only the misses accumulate into
+a backlog that is dispatched to the device pipeline in full batches.
+Output order is restored by a reorder buffer keyed on the global read
+id — the determinism anchor the reference gets from -K chunking.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+
+class SeStream:
+    """Feed raw read batches in, collect per-read records in input
+    order. One device batch is kept in flight (dispatch-ahead)."""
+
+    def __init__(self, aligner, batch_reads: int, max_len: int):
+        self.al = aligner
+        self.B = batch_reads
+        self.L = max_len
+        self.backlog_codes: List[np.ndarray] = []
+        self.backlog_lens: List[int] = []
+        self.backlog_ids: List[int] = []
+        self.results: Dict[int, list] = {}
+        self.next_emit = 0
+        # 3-stage pipeline: extend in flight -> cigar DP in flight
+        self.pending: deque = deque()    # (ids, extend handle)
+        self.pending2: deque = deque()   # (ids, finalize stage)
+
+    # -- input side ----------------------------------------------------
+    def feed(self, codes: np.ndarray, lens: np.ndarray,
+             first_id: int) -> None:
+        """codes [n, L'] int32 (L' <= max_len), lens [n]."""
+        from .perfect import perfect_sam_records
+        from ..ops.emf import FW_MATCHED, RC_MATCHED
+        n = codes.shape[0]
+        ids = np.arange(first_id, first_id + n)
+        if codes.shape[1] > self.L:   # longer reads arrived: grow
+            self.L = int(codes.shape[1])
+            self.backlog_codes = [
+                np.concatenate([c, np.full(self.L - len(c), 4,
+                                           np.int32)])
+                for c in self.backlog_codes]
+        if codes.shape[1] < self.L:
+            pad = np.full((n, self.L - codes.shape[1]), 4, np.int32)
+            codes = np.concatenate([codes, pad], axis=1)
+        pm = None
+        if (self.al.emf is not None
+                and codes.shape[1] >= self.al.emf.seed_len):
+            # host-side probe: a device probe would have to be fetched
+            # and the fetch drains the in-flight extend batch
+            from ..index.perfect import emf_lookup_host
+            pm = emf_lookup_host(self.al.emf, self.al.idx.ref_string,
+                                 codes, lens)
+        is_pm = np.zeros(n, dtype=bool)
+        if pm is not None:
+            is_pm = ((pm["code"] == FW_MATCHED)
+                     | (pm["code"] == RC_MATCHED))
+            self.al.emf_checked += n
+            self.al.emf_hits += int(is_pm.sum())
+            opt, bns = self.al.opt, self.al.idx.bns
+            ref = self.al.idx.ref_string
+            for i in np.flatnonzero(is_pm):
+                read = codes[i, : lens[i]].astype(np.uint8)
+                self.results[int(ids[i])] = perfect_sam_records(
+                    opt, bns, self.al.emf, ref, read,
+                    int(pm["code"][i]), int(pm["slot"][i]))
+        for i in np.flatnonzero(~is_pm):
+            self.backlog_codes.append(codes[i])
+            self.backlog_lens.append(int(lens[i]))
+            self.backlog_ids.append(int(ids[i]))
+        while len(self.backlog_ids) >= self.B:
+            self._dispatch(self.B)
+
+    def _dispatch(self, take: int) -> None:
+        codes = np.stack(self.backlog_codes[:take])
+        lens = np.array(self.backlog_lens[:take], dtype=np.int32)
+        ids = self.backlog_ids[:take]
+        del self.backlog_codes[:take]
+        del self.backlog_lens[:take]
+        del self.backlog_ids[:take]
+        if take < self.B:   # ragged tail: pad with dead lanes
+            pad = self.B - take
+            codes = np.concatenate(
+                [codes, np.full((pad, self.L), 4, np.int32)])
+            lens = np.concatenate([lens, np.zeros(pad, np.int32)])
+        # EMF already ran; dispatch the extend program only
+        handle = self.al.dispatch_batch(codes, lens, skip_emf=True)
+        # pad ids for dead lanes (their empty reg lists ignore the id)
+        self.pending.append((ids + [-1] * (self.B - take), handle))
+        # Advance older batches one stage each. Ordering matters: the
+        # extend(i-1) fetch happens after extend(i) was dispatched, and
+        # the cigar(i-2) fetch happens after cigar(i-1) was dispatched,
+        # so every fetch only waits on device work that is needed
+        # anyway and the device queue never drains.
+        while len(self.pending) > 1:
+            ids1, h = self.pending.popleft()
+            self.pending2.append(
+                (ids1, self.al.finalize_stage_a(h, read_ids=ids1)))
+        while len(self.pending2) > 1:
+            self._complete_oldest()
+
+    def _complete_oldest(self) -> None:
+        ids, stage = self.pending2.popleft()
+        recs = self.al.finalize_stage_b(stage)
+        for j, rid in enumerate(ids):
+            if rid >= 0:
+                self.results[rid] = recs[j]
+
+    # -- output side ---------------------------------------------------
+    def ready(self) -> Iterator[Tuple[int, list]]:
+        while self.next_emit in self.results:
+            yield self.next_emit, self.results.pop(self.next_emit)
+            self.next_emit += 1
+
+    def flush(self) -> None:
+        if self.backlog_ids:
+            self._dispatch(len(self.backlog_ids))
+        while self.pending:
+            ids1, h = self.pending.popleft()
+            self.pending2.append(
+                (ids1, self.al.finalize_stage_a(h, read_ids=ids1)))
+        while self.pending2:
+            self._complete_oldest()

@@ -159,3 +159,19 @@ def test_sam_concordance(emf_setup):
         assert (a.rid, a.pos, a.is_rev) == (b.rid, b.pos, b.is_rev), i
         assert b.cigar == [(L, 0)] and b.NM == 0 and b.mapq == 60
         assert a.cigar == b.cigar
+
+
+def test_host_lookup_matches_device(emf_setup):
+    from bwa_mem_scale_tpu.index.perfect import emf_lookup_host
+    idx, pt = emf_setup
+    reads = sample_reads(idx.bns, 30, 64, seed=15, err_rate=0.02)
+    codes = np.stack([r[0] for r in reads]).astype(np.int32)
+    codes[1, 8] = 4
+    lens = np.full(30, 64, dtype=np.int32)
+    lens[3] = 40  # shorter than seed -> NO_TABLE
+    dev = _lookup(idx, pt, codes, lens)
+    host = emf_lookup_host(pt, idx.ref_string, codes, lens)
+    np.testing.assert_array_equal(dev["code"], host["code"])
+    hit = (host["code"] == 3) | (host["code"] == 4)
+    np.testing.assert_array_equal(dev["slot"][hit], host["slot"][hit])
+    np.testing.assert_array_equal(dev["loc"][hit], host["loc"][hit])
