@@ -27,15 +27,17 @@ import numpy as np
 
 BWAMEM2_40CORE_EST = 330_000.0
 
-GENOME_BP = 4_600_000
-READ_LEN = 101
-BATCH = 4096
-N_BATCHES = 8
+GENOME_BP = int(os.environ.get("BENCH_GENOME_BP", 4_600_000))
+READ_LEN = int(os.environ.get("BENCH_READ_LEN", 101))
+BATCH = int(os.environ.get("BENCH_BATCH", 4096))
+N_BATCHES = int(os.environ.get("BENCH_N_BATCHES", 8))
 ERR = 0.01
-FMA_K = 11
+FMA_K = int(os.environ.get("BENCH_FMA_K", 11))
 
-CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".bench_index.tpuidx.npz")
+CACHE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    ".bench_index.tpuidx.npz" if GENOME_BP == 4_600_000
+    else f".bench_index_{GENOME_BP}.tpuidx.npz")
 
 
 def get_aligner():
@@ -150,8 +152,12 @@ def main():
         print(f"* EMF hits: {aligner.emf_hits}/{aligner.emf_checked}",
               file=sys.stderr)
 
+    metric = ("se_reads_per_sec_chip_ecoli101"
+              if GENOME_BP == 4_600_000 and READ_LEN == 101 else
+              f"se_reads_per_sec_chip_{GENOME_BP // 1_000_000}"
+              f"mbp_{READ_LEN}bp")
     print(json.dumps({
-        "metric": "se_reads_per_sec_chip_ecoli101",
+        "metric": metric,
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(rps / BWAMEM2_40CORE_EST, 4),

@@ -34,16 +34,26 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
 
 
 def sharded_align_fn(mesh: Mesh, opt: MemOptions, cfg: PipelineConfig,
-                     L: int, axis: str = "dp"):
+                     L: int, axis: str = "dp", with_fma: bool = False,
+                     with_ert: bool = False):
     """Build a jitted, read-sharded seed-chain-extend step.
 
-    Returns f(fmi, dbns, codes [B, L], lens [B]) with B divisible by the
-    mesh size; index state replicated, read axis sharded.
+    Returns f(fmi, dbns, codes [B, L], lens [B][, fma][, ert]) with B
+    divisible by the mesh size; index state and accelerator tables
+    replicated in every chip's HBM, read axis sharded. (Alignment has
+    no weight/activation axes to shard — dp over reads is the whole
+    parallelism story per chip; cross-host scaling shards the FASTQ
+    stream, SURVEY.md section 5.8.)
     """
-    core = partial(seed_chain_extend, L=L, opt=opt, cfg=cfg)
-
-    def local_step(fmi, dbns, codes, lens):
-        out = core(fmi, dbns, codes, lens)
+    def local_step(fmi, dbns, codes, lens, *extra):
+        i = 0
+        fma = ert = None
+        if with_fma:
+            fma, i = extra[i], i + 1
+        if with_ert:
+            ert = extra[i]
+        out = seed_chain_extend(fmi, dbns, codes, lens, L=L, opt=opt,
+                                cfg=cfg, fma=fma, ert=ert)
         # pair-space read indices are shard-local; globalize them.
         shard = jax.lax.axis_index(axis)
         out["read"] = jnp.where(
@@ -53,9 +63,14 @@ def sharded_align_fn(mesh: Mesh, opt: MemOptions, cfg: PipelineConfig,
                for k, v in out.items()}
         return out
 
+    in_specs = [P(), P(), P(axis, None), P(axis)]
+    if with_fma:
+        in_specs.append(P())
+    if with_ert:
+        in_specs.append(P())
     fn = jax.shard_map(
         local_step, mesh=mesh,
-        in_specs=(P(), P(), P(axis, None), P(axis)),
+        in_specs=tuple(in_specs),
         out_specs=P(axis),
         check_vma=False,
     )
