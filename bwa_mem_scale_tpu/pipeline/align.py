@@ -568,15 +568,20 @@ class TpuAligner:
         results = run_rescue_jobs(opt, jobs)
         apply_rescues(opt, bns.l_pac, jobs, results, pair_regs)
 
+        from .pe_batch import AlnBatcher
+        batcher = AlnBatcher(opt, self.idx, queries)
         records: List[list] = [None] * B
         mates: List[object] = [None] * B
         for p in range(B // 2):
             regs2 = [list(pair_regs[p][0]), list(pair_regs[p][1])]
             q2 = [queries[2 * p], queries[2 * p + 1]]
             recs2, m2 = sam_pe_records(opt, bns, ref, pes,
-                                       (id_offset >> 1) + p, q2, regs2)
+                                       (id_offset >> 1) + p, q2, regs2,
+                                       batcher=batcher,
+                                       qidx=(2 * p, 2 * p + 1))
             records[2 * p], records[2 * p + 1] = recs2
             mates[2 * p], mates[2 * p + 1] = m2
+        batcher.resolve()
         return records, mates
 
     def align_reads_to_sam(self, batch, id_offset: int = 0) -> List[str]:

@@ -345,10 +345,20 @@ def mem_pair(opt: MemOptions, bns, pes: List[PeStat],
 
 
 def sam_pe_records(opt: MemOptions, bns, ref_string, pes: List[PeStat],
-                   pair_id: int, queries2, regs2
-                   ) -> Tuple[List[List[Aln]], List[Aln]]:
+                   pair_id: int, queries2, regs2, batcher=None,
+                   qidx=(0, 1)) -> Tuple[List[List[Aln]], List[Aln]]:
     """Pairing + record composition for one read pair (mem_sam_pe after
-    mate rescue). Returns (records per end, mate record per end)."""
+    mate rescue). Returns (records per end, mate record per end).
+
+    With `batcher` (pipeline/pe_batch.AlnBatcher), record CIGARs are
+    deferred to one batched device DP; the returned Aln objects are
+    completed by batcher.resolve()."""
+    def _r2a(i, reg):
+        if batcher is not None:
+            return batcher.lazy_reg2aln(qidx[i], reg)
+        return reg2aln(opt, bns, ref_string, len(queries2[i]),
+                       queries2[i], reg)
+
     n_pri = [0, 0]
     for i in (0, 1):
         regs2[i][:], n_pri[i] = mark_primary(opt, regs2[i],
@@ -365,9 +375,7 @@ def sam_pe_records(opt: MemOptions, bns, ref_string, pes: List[PeStat],
                     which = 0
                 elif n_pri[i] < len(a) and a[n_pri[i]].score >= opt.T:
                     which = n_pri[i]
-            h[i] = reg2aln(opt, bns, ref_string, len(queries2[i]),
-                           queries2[i],
-                           a[which] if which >= 0 else None)
+            h[i] = _r2a(i, a[which] if which >= 0 else None)
         nonlocal_extra = extra
         if (not (opt.flag & MEM_F_NOPAIRING) and h[0].rid == h[1].rid
                 and h[0].rid >= 0 and regs2[0] and regs2[1]):
@@ -375,11 +383,19 @@ def sam_pe_records(opt: MemOptions, bns, ref_string, pes: List[PeStat],
                                     regs2[1][0].rb)
             if not pes[d].failed and pes[d].low <= dist <= pes[d].high:
                 nonlocal_extra |= 2
-        recs = [reg2sam_records(opt, bns, ref_string, queries2[i],
-                                regs2[i],
-                                extra_flag=(0x41 if i == 0 else 0x81)
-                                | nonlocal_extra)
-                for i in (0, 1)]
+        if batcher is not None:
+            from .pe_batch import reg2sam_records_lazy
+            recs = [reg2sam_records_lazy(
+                        batcher, qidx[i], regs2[i],
+                        extra_flag=(0x41 if i == 0 else 0x81)
+                        | nonlocal_extra)
+                    for i in (0, 1)]
+        else:
+            recs = [reg2sam_records(opt, bns, ref_string, queries2[i],
+                                    regs2[i],
+                                    extra_flag=(0x41 if i == 0 else 0x81)
+                                    | nonlocal_extra)
+                    for i in (0, 1)]
         return recs, [h[1], h[0]]
 
     if opt.flag & MEM_F_NOPAIRING:
@@ -435,7 +451,7 @@ def sam_pe_records(opt: MemOptions, bns, ref_string, pes: List[PeStat],
             regs2[i][z[i]].secondary_all = -1
 
     XA = [None, None]
-    if not (opt.flag & MEM_F_ALL):
+    if batcher is None and not (opt.flag & MEM_F_ALL):
         for i in (0, 1):
             XA[i] = gen_alt(opt, bns, ref_string, regs2[i],
                             len(queries2[i]), queries2[i])
@@ -443,18 +459,21 @@ def sam_pe_records(opt: MemOptions, bns, ref_string, pes: List[PeStat],
     h = [None, None]
     recs: List[List[Aln]] = [[], []]
     for i in (0, 1):
-        h[i] = reg2aln(opt, bns, ref_string, len(queries2[i]),
-                       queries2[i], regs2[i][z[i]])
+        alns_by_k = {}
+        h[i] = _r2a(i, regs2[i][z[i]])
         h[i].mapq = q_se[i]
         h[i].flag |= (0x40 << i) | extra_flag
         h[i].XA = XA[i][z[i]] if XA[i] else None
+        alns_by_k[z[i]] = h[i]
         recs[i].append(h[i])
         if n_pri[i] < len(regs2[i]):  # ALT hit record
             p = regs2[i][n_pri[i]]
             if p.score >= opt.T and p.secondary < 0 and p.is_alt:
-                g = reg2aln(opt, bns, ref_string, len(queries2[i]),
-                            queries2[i], p)
+                g = _r2a(i, p)
                 g.flag |= 0x800 | (0x40 << i) | extra_flag
                 g.XA = XA[i][n_pri[i]] if XA[i] else None
+                alns_by_k[n_pri[i]] = g
                 recs[i].append(g)
+        if batcher is not None and not (opt.flag & MEM_F_ALL):
+            batcher.lazy_xa(qidx[i], regs2[i], alns_by_k)
     return recs, [h[1], h[0]]
