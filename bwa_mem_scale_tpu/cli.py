@@ -21,7 +21,8 @@ import numpy as np
 from . import __version__
 from .config import (MemOptions, MEM_F_ALL, MEM_F_SOFTCLIP,
                      MEM_F_NO_RESCUE, MEM_F_NOPAIRING,
-                     MEM_F_NO_MULTI)
+                     MEM_F_NO_MULTI, MEM_F_PRIMARY5,
+                     MEM_F_KEEP_SUPP_MAPQ)
 
 
 def _add_mem_opts(p: argparse.ArgumentParser):
@@ -56,6 +57,10 @@ def _add_mem_opts(p: argparse.ArgumentParser):
                    help="append FASTA/FASTQ comment to SAM")
     p.add_argument("-j", action="store_true", dest="ignore_alt",
                    help="treat ALT contigs as primary")
+    p.add_argument("-5", action="store_true", dest="primary5",
+                   help="smallest-coordinate split hit is primary")
+    p.add_argument("-q", action="store_true", dest="keep_supp_mapq",
+                   help="don't cap MAPQ of supplementary alignments")
     p.add_argument("-h", "--xa-hits", type=str, default="5,200",
                    dest="xa_hits",
                    help="max XA hits [primary,alt]")
@@ -99,6 +104,10 @@ def _opts_from_args(args) -> MemOptions:
         opt.flag |= MEM_F_NOPAIRING
     if args.mark_secondary:
         opt.flag |= MEM_F_NO_MULTI
+    if args.primary5:
+        opt.flag |= MEM_F_PRIMARY5
+    if args.keep_supp_mapq:
+        opt.flag |= MEM_F_KEEP_SUPP_MAPQ
     opt.ignore_alt = args.ignore_alt
     return opt
 
@@ -119,6 +128,21 @@ def cmd_index(argv):
     t0 = time.time()
     print(f"* parsing {args.fasta}", file=sys.stderr)
     bns = parse_fasta(args.fasta)
+    alt_path = args.fasta + ".alt"
+    import os as _os
+    if _os.path.exists(alt_path):
+        # bwa-mem .alt convention: contig name is the first column
+        alt_names = set()
+        with open(alt_path) as f:
+            for line in f:
+                if line.strip() and not line.startswith("@"):
+                    alt_names.add(line.split()[0])
+        n_alt = 0
+        for a in bns.anns:
+            if a.name in alt_names:
+                a.is_alt = True
+                n_alt += 1
+        print(f"* {n_alt} ALT contigs from {alt_path}", file=sys.stderr)
     print(f"* l_pac={bns.l_pac} n_seqs={bns.n_seqs}; building index",
           file=sys.stderr)
     idx = build_index(bns, sa_compx=args.sa_compx)

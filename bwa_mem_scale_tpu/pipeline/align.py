@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import MemOptions
+from ..config import MemOptions, MEM_F_PRIMARY5
 from ..index.artifacts import FMIndex
 from ..ops.occ import DeviceFMIndex
 from ..ops.smem import collect_smems_device
@@ -44,6 +44,7 @@ from ..ops.bsw import banded_swa_batch
 from ..ops import kswg
 from ..ref.extend import AlnReg, MAX_BAND_TRY
 from ..ref.finalize import (sort_dedup_patch, mark_primary,
+                            reorder_primary5,
                             reg2sam_records)
 from ..io.sam import aln_to_sam_line
 
@@ -490,6 +491,8 @@ class TpuAligner:
             regs = sort_dedup_patch(opt, bns, ref, query, regs)
             rid = read_ids[i] if read_ids is not None else id_offset + i
             regs, _ = mark_primary(opt, regs, rid)
+            if opt.flag & MEM_F_PRIMARY5:
+                reorder_primary5(opt.T, regs)
             finalized.append(regs)
         fin = BatchFinalizer(opt, self.idx)
         state = fin.begin_batch(queries, finalized)

@@ -321,7 +321,9 @@ class BatchFinalizer:
                 if l and p.secondary < 0:
                     q.flag |= (0x10000 if (opt.flag & MEM_F_NO_MULTI)
                                else 0x800)
-                if l and not p.is_alt and q.mapq > records[0].mapq:
+                if (not (opt.flag & 0x1000) and l   # -q keeps supp mapq
+                        and not p.is_alt
+                        and q.mapq > records[0].mapq):
                     q.mapq = records[0].mapq
                 l += 1
                 records.append(q)

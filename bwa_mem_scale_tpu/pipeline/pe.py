@@ -25,7 +25,9 @@ from ..config import (MemOptions, MEM_F_ALL, MEM_F_NOPAIRING,
                       MEM_F_NO_RESCUE)
 from ..ref.extend import AlnReg
 from ..ref.finalize import (Aln, approx_mapq, gen_alt, hash_64,
-                            mark_primary, reg2aln, reg2sam_records,
+                            mark_primary, reg2aln,
+                            reg2sam_records,
+                            reorder_primary5,
                             sort_dedup_patch)
 from ..ref.ksw_align import ksw_align
 
@@ -363,6 +365,8 @@ def sam_pe_records(opt: MemOptions, bns, ref_string, pes: List[PeStat],
     for i in (0, 1):
         regs2[i][:], n_pri[i] = mark_primary(opt, regs2[i],
                                              (pair_id << 1) | i)
+        if opt.flag & 0x800:   # MEM_F_PRIMARY5 (mem_sam_pe V17 block)
+            reorder_primary5(opt.T, regs2[i])
 
     def no_pairing():
         extra = 1

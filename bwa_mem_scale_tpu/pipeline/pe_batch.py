@@ -142,7 +142,8 @@ def reg2sam_records_lazy(batcher: AlnBatcher, query_idx: int,
             q.sub = -1
         if l and p.secondary < 0:
             q.flag |= 0x10000 if (opt.flag & 0x10) else 0x800
-        if l and not p.is_alt and q.mapq > out[0].mapq:
+        if (not (opt.flag & 0x1000) and l   # -q keeps supp mapq
+                and not p.is_alt and q.mapq > out[0].mapq):
             q.mapq = out[0].mapq
         alns_by_k[k] = q
         l += 1

@@ -17,7 +17,8 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ..config import MemOptions, MEM_F_ALL, MEM_F_NO_MULTI, MEM_MAPQ_COEF
+from ..config import (MemOptions, MEM_F_ALL, MEM_F_NO_MULTI,
+                      MEM_F_KEEP_SUPP_MAPQ, MEM_MAPQ_COEF)
 from .extend import AlnReg
 from . import ksw
 
@@ -190,6 +191,34 @@ def mark_primary(opt: MemOptions, regs: List[AlnReg], read_id: int
         for r in regs:
             r.secondary_all = r.secondary
     return regs, n_pri
+
+
+def reorder_primary5(T: int, regs: List[AlnReg]) -> None:
+    """-5: make the leftmost-on-query primary hit the first record
+    (mem_reorder_primary5, src/bwamem.cpp:2009-2032)."""
+    n_pri = sum(1 for r in regs
+                if r.secondary < 0 and not r.is_alt and r.score >= T)
+    if n_pri <= 1:
+        return
+    left_st, left_k = 1 << 30, -1
+    for k, r in enumerate(regs):
+        if r.secondary >= 0 or r.is_alt or r.score < T:
+            continue
+        if r.qb < left_st:
+            left_st, left_k = r.qb, k
+    if left_k <= 0:
+        return
+    regs[0], regs[left_k] = regs[left_k], regs[0]
+    for k in range(1, len(regs)):
+        r = regs[k]
+        if r.secondary == 0:
+            r.secondary = left_k
+        elif r.secondary == left_k:
+            r.secondary = 0
+        if r.secondary_all == 0:
+            r.secondary_all = left_k
+        elif r.secondary_all == left_k:
+            r.secondary_all = 0
 
 
 def approx_mapq(opt: MemOptions, a: AlnReg) -> int:
@@ -371,7 +400,8 @@ def reg2sam_records(opt: MemOptions, bns, ref_string, query: np.ndarray,
             q.sub = -1
         if l and p.secondary < 0:
             q.flag |= 0x10000 if (opt.flag & MEM_F_NO_MULTI) else 0x800
-        if l and not p.is_alt and q.mapq > out[0].mapq:
+        if (not (opt.flag & MEM_F_KEEP_SUPP_MAPQ) and l
+                and not p.is_alt and q.mapq > out[0].mapq):
             q.mapq = out[0].mapq
         l += 1
         out.append(q)
