@@ -106,6 +106,49 @@ class PerfectTable:
         return self.ml_locs[lo: lo + nfw], self.ml_locs[lo + nfw: hi]
 
 
+def _group_canonical(seq, win, pos, S: int):
+    """(fwless, hash, group id, n_groups) per window; native grouper
+    (native/emf.cpp) when available, vectorized NumPy otherwise."""
+    import subprocess
+    try:
+        from . import native_emf
+        return native_emf.group_windows(seq, pos, S)
+    except (ImportError, OSError, AttributeError,
+            subprocess.CalledProcessError):
+        pass  # fall back to the NumPy path (rep/cnt computed below)
+    W = (S + 31) // 32
+    P = len(pos)
+    canon = np.empty((P, W), dtype=np.uint64)
+    fwless = np.empty(P, dtype=bool)
+    CH = 1 << 18
+    for lo in range(0, P, CH):
+        hi = min(lo + CH, P)
+        w = win[pos[lo:hi]]
+        fw_words = pack_words(w)
+        rc_words = pack_words((3 - w[:, ::-1]).astype(np.uint8))
+        fl = np.ones(hi - lo, dtype=bool)
+        decided = np.zeros(hi - lo, dtype=bool)
+        for j in range(W):
+            d = ~decided & (fw_words[:, j] != rc_words[:, j])
+            fl[d] = fw_words[d, j] < rc_words[d, j]
+            decided |= d
+        fwless[lo:hi] = fl
+        canon[lo:hi] = np.where(fl[:, None], fw_words, rc_words)
+    order = np.lexsort(tuple(canon[:, j] for j in range(W - 1, -1, -1)))
+    cs = canon[order]
+    new_grp = np.ones(P, dtype=bool)
+    if P > 1:
+        new_grp[1:] = (cs[1:] != cs[:-1]).any(axis=1)
+    gid_sorted = np.cumsum(new_grp) - 1
+    gid = np.empty(P, dtype=np.int64)
+    gid[order] = gid_sorted
+    n_grp = int(gid_sorted[-1]) + 1 if P else 0
+    rep = np.full(n_grp, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(rep, gid, pos)
+    cnt = np.bincount(gid, minlength=n_grp)
+    return fwless, hash_words(canon, S), gid, n_grp, rep, cnt
+
+
 def build_perfect_table(idx, seed_len: int = DEFAULT_SEED_LEN,
                         slack: float = 1.6) -> PerfectTable:
     """Vectorized builder over every in-contig genome window.
@@ -131,67 +174,39 @@ def build_perfect_table(idx, seed_len: int = DEFAULT_SEED_LEN,
     ok = pos + S <= ends[np.minimum(ctg, len(ends) - 1)]
     pos = pos[ok]
 
-    # canonicalize in chunks to bound the packing temporaries
-    W = (S + 31) // 32
-    P = len(pos)
-    canon = np.empty((P, W), dtype=np.uint64)
-    fwless = np.empty(P, dtype=bool)
-    CH = 1 << 18
-    for lo in range(0, P, CH):
-        hi = min(lo + CH, P)
-        w = win[pos[lo:hi]]
-        fw_words = pack_words(w)
-        rc_words = pack_words((3 - w[:, ::-1]).astype(np.uint8))
-        fl = np.ones(hi - lo, dtype=bool)
-        decided = np.zeros(hi - lo, dtype=bool)
-        for j in range(W):
-            d = ~decided & (fw_words[:, j] != rc_words[:, j])
-            fl[d] = fw_words[d, j] < rc_words[d, j]
-            decided |= d
-        fwless[lo:hi] = fl
-        canon[lo:hi] = np.where(fl[:, None], fw_words, rc_words)
-
-    # group identical seeds (lexicographic row order)
-    order = np.lexsort(tuple(canon[:, j] for j in range(W - 1, -1, -1)))
-    cs = canon[order]
-    new_grp = np.ones(len(pos), dtype=bool)
-    if len(pos) > 1:
-        new_grp[1:] = (cs[1:] != cs[:-1]).any(axis=1)
-    gid_sorted = np.cumsum(new_grp) - 1
-    gid = np.empty(len(pos), dtype=np.int64)
-    gid[order] = gid_sorted
-    n_grp = int(gid_sorted[-1]) + 1 if len(pos) else 0
-
-    # per group: representative = smallest position (scan order)
-    rep = np.full(n_grp, np.iinfo(np.int64).max, dtype=np.int64)
-    np.minimum.at(rep, gid, pos)
-    grp_cnt = np.bincount(gid, minlength=n_grp).astype(np.int32)
-    h_all = hash_words(canon, S)
-    # entry orientation = orientation of the representative location
-    rep_fwless = np.zeros(n_grp, dtype=np.uint8)
-    is_rep = pos == rep[gid]
-    rep_fwless[gid[is_rep]] = fwless[is_rep]
+    (fwless, h_all, gid, n_grp, rep,
+     grp_cnt64) = _group_canonical(seq, win, pos, S)
+    grp_cnt = grp_cnt64.astype(np.int32)
+    # entry orientation/hash from the representative location
     grp_h = np.zeros(n_grp, dtype=np.uint64)
-    grp_h[gid[is_rep]] = h_all[is_rep]
+    grp_h[gid] = h_all                     # all members share the hash
+    rep_idx = np.searchsorted(pos, rep)    # pos is ascending
+    rep_fwless = fwless[rep_idx].astype(np.uint8)
 
-    # vectorized linear-probe insertion
+    # linear-probe insertion (native sequential insert when built,
+    # else round-vectorized NumPy; both layouts satisfy the
+    # probe-until-empty lookup invariant)
     ncap = 1 << max(4, int(np.ceil(np.log2(max(n_grp, 1) * slack))))
     mask = np.uint64(ncap - 1)
     tab = np.full(ncap, -1, dtype=np.int64)      # group id per slot
-    remaining = np.arange(n_grp, dtype=np.int64)
-    r = np.uint64(0)
     max_probe = 1
-    while len(remaining):
-        s = ((grp_h[remaining] + r) & mask).astype(np.int64)
-        empty = tab[s] < 0
-        uniq, first = np.unique(s, return_index=True)
-        claim = np.zeros(len(s), dtype=bool)
-        claim[first] = True
-        winr = empty & claim
-        tab[s[winr]] = remaining[winr]
-        remaining = remaining[~winr]
-        r += np.uint64(1)
-        max_probe = max(max_probe, int(r))
+    try:
+        from . import native_emf
+        max_probe = native_emf.insert_table(grp_h, ncap, tab)
+    except (ImportError, OSError, AttributeError):
+        remaining = np.arange(n_grp, dtype=np.int64)
+        r = np.uint64(0)
+        while len(remaining):
+            s = ((grp_h[remaining] + r) & mask).astype(np.int64)
+            empty = tab[s] < 0
+            uniq, first = np.unique(s, return_index=True)
+            claim = np.zeros(len(s), dtype=bool)
+            claim[first] = True
+            winr = empty & claim
+            tab[s[winr]] = remaining[winr]
+            remaining = remaining[~winr]
+            r += np.uint64(1)
+            max_probe = max(max_probe, int(r))
 
     filled = tab >= 0
     g = tab[filled]
