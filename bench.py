@@ -33,6 +33,7 @@ BATCH = int(os.environ.get("BENCH_BATCH", 4096))
 N_BATCHES = int(os.environ.get("BENCH_N_BATCHES", 8))
 ERR = 0.01
 FMA_K = int(os.environ.get("BENCH_FMA_K", 11))
+SEED_ENGINE = os.environ.get("BENCH_SEED_ENGINE", "sweep")
 
 CACHE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
@@ -87,8 +88,10 @@ def get_aligner():
 
     cfg = PipelineConfig(max_coords=256, max_chains=32,
                          max_seeds_per_chain=16, max_regs=32,
-                         max_pairs=4 * BATCH)
-    return TpuAligner(idx, MemOptions(), cfg, fma=fma, emf=emf)
+                         max_pairs=4 * BATCH, seed_engine=SEED_ENGINE)
+    return TpuAligner(idx, MemOptions(), cfg,
+                      fma=None if SEED_ENGINE == "readlane" else fma,
+                      emf=emf)
 
 
 def main():

@@ -74,6 +74,10 @@ def _add_mem_opts(p: argparse.ArgumentParser):
     p.add_argument("-R", type=str, default=None, dest="rg_line")
     p.add_argument("--batch-reads", type=int, default=512,
                    help="device batch size in reads")
+    p.add_argument("--seed-engine", choices=("sweep", "readlane"),
+                   default="sweep",
+                   help="SMEM seeding kernel: position-parallel sweep "
+                        "or read-per-lane machine (identical output)")
 
 
 def _opts_from_args(args) -> MemOptions:
@@ -199,7 +203,19 @@ def cmd_mem(argv):
                   f"{ert.n_nodes} nodes)", file=sys.stderr)
         elif ert is not None:
             ert = None
-        aligner = TpuAligner(idx, opt, fma=fma, emf=emf, ert=ert)
+        from .pipeline.align import PipelineConfig
+        cfg = PipelineConfig(seed_engine=args.seed_engine)
+        if args.seed_engine == "readlane":
+            # explicit engine choice beats auto-loaded accelerators
+            # that would bypass it
+            if ert is not None:
+                print("* note: readlane seeding selected; ignoring "
+                      "auto-loaded ERT index", file=sys.stderr)
+                ert = None
+            if fma is not None:
+                print("* note: readlane seeding ignores the FMA "
+                      "table", file=sys.stderr)
+        aligner = TpuAligner(idx, opt, cfg, fma=fma, emf=emf, ert=ert)
 
     out = sys.stdout if args.output == "-" else open(args.output, "w")
     rg_id = None

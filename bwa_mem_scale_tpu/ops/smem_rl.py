@@ -1,0 +1,487 @@
+"""Read-per-lane SMEM machine — the reference's forward/backward walk
+in lockstep micro-ops.
+
+The position-parallel sweep (ops/smem.py) pays two occ row-gathers
+over B*L lanes per step; on this hardware a gather's cost scales with
+lane count well above ~4k lanes, so the sweep's perfect parallelism
+overshoots the chip. This module runs ONE lane per read/task, each
+lane executing exactly one FM extension per tick of a lockstep state
+machine that replicates getSMEMsOnePosOneThread's control flow
+(src/FMI_search.cpp:1372-1660) including its quirks (the double push
+of the failing forward interval; the backward scan's first-hit break
+and distinct-s tail; next_x = j on interval failure). Dependent
+4096-lane extension chains measure ~0.44 ms/tick, and per-read
+FM-op counts are the reference's own (~2-4 L), so seeding drops from
+~1.7 s to a few hundred ms per batch.
+
+State per lane: phase, x (restart), j (column), the forward interval,
+two interval stacks (prev/curr as structure-of-arrays), scan index
+and direction, plus the distinct-s tracker. Stack direction flips
+after the first backward round (the reference reverses `prev` once);
+we scan the forward stack top-down and subsequent stacks bottom-up
+instead of reversing.
+
+Emissions append to a SmemBuf; pass-1 restarts chain through next_x,
+pass-2 runs one task per lane, and the forward-only third pass has
+its own tiny machine. Outputs are bit-identical to ops/smem.py after
+the final (m, n) sort (tested).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .occ import DeviceFMIndex, backward_ext_all4
+from .smem import SmemBuf, concat_smems
+
+# phases
+P_INIT = 0    # start a new position x (computes 1-base interval inline)
+P_FWD = 1     # forward extension of `cur` by q[j]
+P_BSCAN = 2   # backward scan over prev (first-hit break)
+P_BTAIL = 3   # backward tail over remaining prev entries
+P_DONE = 4
+
+
+def _ext_all4(fmi, k, l, s, fwd):
+    """One extension for every lane; fwd lanes use the k/l swap."""
+    kk = jnp.where(fwd, l, k)
+    ll = jnp.where(fwd, k, l)
+    k4, l4, s4 = backward_ext_all4(fmi, kk, ll, s)
+    return k4, l4, s4
+
+
+def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
+                    t_mi, t_valid, chain_restarts: bool,
+                    min_seed_len: int, max_out: int,
+                    out: SmemBuf, with_ticks: bool = False):
+    """Run getSMEMsOnePos for a batch of (read, x, min_intv) tasks.
+
+    chain_restarts=True makes each lane loop x -> next_x until the
+    read end (pass 1); False runs a single position (pass 2).
+    Emissions land in per-READ slots of `out` (capacity max_out).
+    with_ticks=True returns (buf, n_ticks) for perf diagnostics.
+    """
+    T = t_read.shape[0]
+    B, L = codes.shape
+    pos_dtype = fmi.pos_dtype
+    tidx = jnp.arange(T)
+    zero = jnp.zeros((), pos_dtype)
+
+    codes_t = codes[t_read]          # [T, L] per-task read codes
+    lens_t = jnp.where(t_valid, lens[t_read], 0)
+    mi = t_mi.astype(pos_dtype)
+
+    # stacks: prev (A) and curr (B); entries (k, l, s, n). m is NOT
+    # stored per entry: every entry of one stack generation shares it
+    # (x for the forward pushes, the round's j for backward keeps), so
+    # it lives in a per-lane scalar mA. NOTE: packing column pairs
+    # into int64 was measured 2x SLOWER per tick on TPU v5e (int64 is
+    # emulated; measured 1.14 -> 2.39 ms/tick) — keep columns separate.
+    packed = False
+
+    def stack():
+        if packed:
+            return dict(kl=jnp.zeros((T, L), jnp.int64),
+                        sn=jnp.zeros((T, L), jnp.int64))
+        return dict(k=jnp.zeros((T, L), pos_dtype),
+                    l=jnp.zeros((T, L), pos_dtype),
+                    s=jnp.zeros((T, L), pos_dtype),
+                    n=jnp.zeros((T, L), jnp.int32))
+
+    st0 = dict(
+        phase=jnp.where(t_valid, P_INIT, P_DONE).astype(jnp.int32),
+        x=t_x.astype(jnp.int32),
+        nx=t_x.astype(jnp.int32) + 1,          # next_x accumulator
+        j=jnp.zeros((T,), jnp.int32),
+        ck=jnp.zeros((T,), pos_dtype),         # forward interval
+        cl=jnp.zeros((T,), pos_dtype),
+        cs=jnp.zeros((T,), pos_dtype),
+        cn=jnp.zeros((T,), jnp.int32),
+        A=stack(), cntA=jnp.zeros((T,), jnp.int32),
+        Bs=stack(), cntB=jnp.zeros((T,), jnp.int32),
+        mA=jnp.zeros((T,), jnp.int32),         # shared m of A entries
+        p=jnp.zeros((T,), jnp.int32),          # scan index (0-based)
+        rev=jnp.zeros((T,), bool),             # scan A top-down?
+        curr_s=jnp.full((T,), -1, pos_dtype),
+        kept=jnp.zeros((T,), bool),            # emitted_or_kept
+        tick=jnp.zeros((), jnp.int32),
+        out=out,
+    )
+    if with_ticks:
+        st0["done_at"] = jnp.where(t_valid, jnp.int32(-1),
+                                   jnp.zeros((T,), jnp.int32))
+
+    def push(stk, cnt, do, k, l, s, n):
+        i = jnp.where(do, cnt, L)
+        if packed:
+            kl = (k.astype(jnp.int64) << 32) | l.astype(jnp.int64)
+            sn = (s.astype(jnp.int64) << 32) | n.astype(jnp.int64)
+            return (dict(kl=stk["kl"].at[tidx, i].set(kl, mode="drop"),
+                         sn=stk["sn"].at[tidx, i].set(sn, mode="drop")),
+                    cnt + do.astype(jnp.int32))
+        return (dict(k=stk["k"].at[tidx, i].set(k, mode="drop"),
+                     l=stk["l"].at[tidx, i].set(l, mode="drop"),
+                     s=stk["s"].at[tidx, i].set(s, mode="drop"),
+                     n=stk["n"].at[tidx, i].set(n, mode="drop")),
+                cnt + do.astype(jnp.int32))
+
+    def at(stk, i):
+        i = jnp.clip(i, 0, L - 1)
+        if packed:
+            kl = stk["kl"][tidx, i]
+            sn = stk["sn"][tidx, i]
+            return ((kl >> 32).astype(pos_dtype),
+                    (kl & 0xFFFFFFFF).astype(pos_dtype),
+                    (sn >> 32).astype(pos_dtype),
+                    (sn & 0xFFFFFFFF).astype(jnp.int32))
+        return (stk["k"][tidx, i], stk["l"][tidx, i],
+                stk["s"][tidx, i], stk["n"][tidx, i])
+
+    def cond(st):
+        return jnp.any(st["phase"] != P_DONE)
+
+    def body(st):
+        phase = st["phase"]
+        is_init = phase == P_INIT
+        is_fwd = phase == P_FWD
+        is_bs = phase == P_BSCAN
+        is_bt = phase == P_BTAIL
+
+        # ----- INIT: build the 1-base interval at x (no ext needed);
+        # lanes then fall through to FWD on the NEXT tick with j=x+1.
+        xa = codes_t[tidx, jnp.clip(st["x"], 0, L - 1)]
+        x_ok = (st["x"] < lens_t) & (xa < 4)
+        xac = jnp.clip(xa, 0, 3)
+        ik = fmi.count[xac]
+        il = fmi.count[3 - xac]
+        is_ = fmi.count[xac + 1] - fmi.count[xac]
+
+        # ----- pick the extension operands per lane -----
+        # FWD: extend cur forward by a=q[j]; BSCAN/BTAIL: extend
+        # prev[scan(p)] backward by a=q[j].
+        scan_i = jnp.where(st["rev"], st["cntA"] - 1 - st["p"], st["p"])
+        pk, pl, ps, pn = at(st["A"], scan_i)
+        pm = st["mA"]
+        a_j = codes_t[tidx, jnp.clip(st["j"], 0, L - 1)]
+        ext_k = jnp.where(is_fwd, st["ck"], pk)
+        ext_l = jnp.where(is_fwd, st["cl"], pl)
+        ext_s = jnp.where(is_fwd, st["cs"], ps)
+        ac = jnp.clip(a_j, 0, 3)
+        sel = jnp.where(is_fwd, 3 - ac, ac)[:, None]
+        k4, l4, s4 = _ext_all4(fmi, ext_k, ext_l, ext_s, is_fwd)
+        take = lambda v: jnp.take_along_axis(v, sel, axis=-1)[..., 0]
+        nk = jnp.where(is_fwd, take(l4), take(k4))
+        nl = jnp.where(is_fwd, take(k4), take(l4))
+        ns = take(s4)
+
+        out_b = st["out"]
+        A, cntA = st["A"], st["cntA"]
+        Bs, cntB = st["Bs"], st["cntB"]
+
+        # ================= FWD transition =================
+        j_in = st["j"] < lens_t
+        a_ok = a_j < 4
+        f_run = is_fwd & j_in & a_ok
+        s_changed = f_run & (ns != st["cs"])
+        s_fail = f_run & (ns < mi)
+        f_cont = f_run & ~s_fail
+        # push old interval when s changed (before the fail check)
+        A, cntA = push(A, cntA, s_changed, st["ck"], st["cl"],
+                       st["cs"], st["cn"])
+        # forward end: N/end-of-read (no ext applied) or s-fail
+        f_end = is_fwd & (~j_in | ~a_ok | s_fail)
+        # post-loop push: smem if s >= mi (old interval on any end)
+        A, cntA = push(A, cntA, f_end & (st["cs"] >= mi), st["ck"],
+                       st["cl"], st["cs"], st["cn"])
+        # all forward-phase A entries share m = x
+        mA = jnp.where(f_end, st["x"], st["mA"])
+        # next_x = j + 1 is set before the N check in the reference
+        nx = jnp.where(is_fwd & j_in, st["j"] + 1, st["nx"])
+        nx = jnp.where(s_fail, st["j"], nx)          # next_x = j
+        # continue forward
+        ck = jnp.where(f_cont, nk, st["ck"])
+        cl = jnp.where(f_cont, nl, st["cl"])
+        cs = jnp.where(f_cont, ns, st["cs"])
+        cn = jnp.where(f_cont, st["j"], st["cn"])
+        j = jnp.where(f_cont, st["j"] + 1, st["j"])
+
+        # after forward end -> enter backward at j = x - 1 with the
+        # stack scanned top-down (the reference's prev.reverse())
+        phase2 = jnp.where(f_end, P_BSCAN, phase)
+        j = jnp.where(f_end, st["x"] - 1, j)
+        rev = jnp.where(f_end, True, st["rev"])
+        p = jnp.where(f_end, 0, st["p"])
+        curr_s = jnp.where(f_end, jnp.asarray(-1, pos_dtype),
+                           st["curr_s"])
+        kept = jnp.where(f_end, False, st["kept"])
+        cntB = jnp.where(f_end, 0, cntB)
+
+        # ============ BACKWARD round prologue checks ============
+        # (handled when entering a round: j < 0 or q[j] invalid ends
+        # the position; checked for lanes in BSCAN with p == 0)
+        round_start = is_bs & (st["p"] == 0)
+        b_dead = round_start & ((st["j"] < 0) | (a_j >= 4)
+                                | (st["cntA"] == 0))
+        # position end: emit scan-order entry 0 of prev if long enough.
+        # b_dead implies p == 0, where the scan fetch (pk..pn) IS
+        # scan-order entry 0 — no separate stack fetch needed.
+        emit0 = b_dead & (st["cntA"] > 0) \
+            & ((pn - pm + 1) >= min_seed_len)
+
+        # ================= BSCAN transition =================
+        bs_run = is_bs & ~b_dead
+        # emit the unextended entry when its extension dies and it is
+        # long enough (then switch to the tail)
+        die = bs_run & (ns < mi)
+        emit_sc = die & ((pn - pm + 1) >= min_seed_len)
+        # emit0 and emit_sc are mutually exclusive (b_dead vs bs_run)
+        # and emit the same scan entry -> one scatter for both
+        out_b = out_b.emit(emit0 | emit_sc, pm, pn, pk, pl, ps)
+        keep_sc = bs_run & ~die & (ns != st["curr_s"])
+        hit = emit_sc | keep_sc
+        kept = kept | hit
+        # advance: on hit -> TAIL from p+1; else next scan entry
+        phase2 = jnp.where(hit, P_BTAIL, phase2)
+
+        # ================= BTAIL transition =================
+        bt_run = is_bt
+        # a tail entered past the end (hit on the last scan entry)
+        # must not touch the stale slot at p == cntA
+        keep_tl = bt_run & (st["p"] < st["cntA"]) & (ns >= mi) \
+            & (ns != st["curr_s"])
+        # BSCAN and BTAIL are mutually exclusive phases pushing the
+        # same values -> one scatter for both
+        keep_b = keep_sc | keep_tl
+        Bs, cntB = push(Bs, cntB, keep_b, nk, nl, ns, pn)
+        curr_s = jnp.where(keep_b, ns, curr_s)
+
+        # common backward advance
+        b_any = bs_run | bt_run
+        p = jnp.where(b_any, st["p"] + 1, p)
+        # scan exhausted without any hit -> round over with empty keep
+        scan_out = bs_run & ~hit & (st["p"] + 1 >= st["cntA"])
+        tail_out = bt_run & (st["p"] + 1 >= st["cntA"])
+        round_over = scan_out | tail_out
+
+        # round epilogue: prev <- curr, j -= 1, bottom-up scan. B keeps
+        # its (now stale) content — slots past the reset cntB are never
+        # read, and the next round's pushes overwrite them in order.
+        A = jax.tree_util.tree_map(
+            lambda xa, xb: jnp.where(round_over[:, None], xb, xa),
+            A, Bs)
+        cntA = jnp.where(round_over, cntB, cntA)
+        cntB = jnp.where(round_over, 0, cntB)
+        # every entry kept this round shares m = the round's j
+        mA = jnp.where(round_over, st["j"], mA)
+        j = jnp.where(round_over, st["j"] - 1, j)
+        rev = jnp.where(round_over, False, rev)
+        p = jnp.where(round_over, 0, p)
+        curr_s = jnp.where(round_over, jnp.asarray(-1, pos_dtype),
+                           curr_s)
+        phase2 = jnp.where(round_over, P_BSCAN, phase2)
+        kept = jnp.where(round_over, False, kept)
+
+        # ================= position end -> INIT/DONE =================
+        pos_end = b_dead
+        if chain_restarts:
+            x2 = jnp.where(pos_end, jnp.maximum(st["nx"], st["x"] + 1),
+                           st["x"])
+            done = pos_end & (x2 >= lens_t)
+            phase2 = jnp.where(pos_end, jnp.where(done, P_DONE, P_INIT),
+                               phase2)
+        else:
+            x2 = st["x"]
+            phase2 = jnp.where(pos_end, P_DONE, phase2)
+
+        # ================= INIT transition =================
+        # (uses no extension; costs one bubble tick per restart)
+        init_bad = is_init & ~x_ok
+        if chain_restarts:
+            xb = jnp.where(init_bad, st["x"] + 1, x2)
+            done_b = init_bad & (xb >= lens_t)
+            phase2 = jnp.where(init_bad,
+                               jnp.where(done_b, P_DONE, P_INIT),
+                               phase2)
+            x2 = xb
+        else:
+            phase2 = jnp.where(init_bad, P_DONE, phase2)
+        init_go = is_init & x_ok
+        ck = jnp.where(init_go, ik, ck)
+        cl = jnp.where(init_go, il, cl)
+        cs = jnp.where(init_go, is_, cs)
+        cn = jnp.where(init_go, st["x"], cn)
+        j = jnp.where(init_go, st["x"] + 1, j)
+        nx = jnp.where(is_init, st["x"] + 1, nx)
+        cntA = jnp.where(init_go, 0, cntA)
+        phase2 = jnp.where(init_go, P_FWD, phase2)
+
+        st2 = dict(phase=phase2, x=x2, nx=nx, j=j, ck=ck, cl=cl,
+                   cs=cs, cn=cn, A=A, cntA=cntA, Bs=Bs, cntB=cntB,
+                   mA=mA, p=p, rev=rev, curr_s=curr_s, kept=kept,
+                   tick=st["tick"] + 1, out=out_b)
+        if with_ticks:
+            st2["done_at"] = jnp.where(
+                (st["done_at"] < 0) & (phase2 == P_DONE),
+                st["tick"] + 1, st["done_at"])
+        return st2
+
+    stf = jax.lax.while_loop(cond, body, st0)
+    if with_ticks:
+        return stf["out"], (stf["tick"], stf["done_at"])
+    return stf["out"]
+
+
+def seed_strategy_machine(fmi: DeviceFMIndex, codes, lens,
+                          max_intv: int, min_seed_len: int,
+                          max_out: int, with_ticks: bool = False):
+    """Pass 3 as a read-per-lane forward-only machine
+    (bwtSeedStrategyAllPosOneThread, src/FMI_search.cpp:1662-1730):
+    restart-chained forward walks emitting the first seed whose
+    interval drops below max_intv at length >= min_seed_len (the
+    emitted seed includes the failing step; s == 0 seeds dropped)."""
+    B, L = codes.shape
+    pos_dtype = fmi.pos_dtype
+    bidx = jnp.arange(B)
+    mx = jnp.asarray(max_intv, pos_dtype)
+
+    st0 = dict(
+        phase=jnp.where(lens > 0, P_INIT, P_DONE).astype(jnp.int32),
+        x=jnp.zeros((B,), jnp.int32),
+        j=jnp.zeros((B,), jnp.int32),
+        ck=jnp.zeros((B,), pos_dtype),
+        cl=jnp.zeros((B,), pos_dtype),
+        cs=jnp.zeros((B,), pos_dtype),
+        tick=jnp.zeros((), jnp.int32),
+        out=SmemBuf.empty(B, max_out, pos_dtype),
+    )
+
+    def cond(st):
+        return jnp.any(st["phase"] != P_DONE)
+
+    def body(st):
+        phase = st["phase"]
+        is_init = phase == P_INIT
+        is_fwd = phase == P_FWD
+
+        xa = codes[bidx, jnp.clip(st["x"], 0, L - 1)]
+        x_ok = (st["x"] < lens) & (xa < 4)
+        xac = jnp.clip(xa, 0, 3)
+
+        a_j = codes[bidx, jnp.clip(st["j"], 0, L - 1)]
+        ac = jnp.clip(a_j, 0, 3)
+        k4, l4, s4 = _ext_all4(fmi, st["ck"], st["cl"], st["cs"],
+                               jnp.ones((B,), bool))
+        sel = (3 - ac)[:, None]
+        take = lambda v: jnp.take_along_axis(v, sel, axis=-1)[..., 0]
+        nk, nl, ns = take(l4), take(k4), take(s4)
+
+        j_in = st["j"] < lens
+        a_ok = a_j < 4
+        f_run = is_fwd & j_in & a_ok
+        # seed hit: s dropped below max_intv at sufficient length
+        hit = f_run & (ns < mx) \
+            & ((st["j"] - st["x"] + 1) >= min_seed_len)
+        out = st["out"].emit(hit & (ns > 0), st["x"], st["j"],
+                             nk, nl, ns)
+        f_end = is_fwd & (~j_in | ~a_ok | hit)
+        f_cont = f_run & ~hit
+
+        ck = jnp.where(f_cont, nk, st["ck"])
+        cl = jnp.where(f_cont, nl, st["cl"])
+        cs = jnp.where(f_cont, ns, st["cs"])
+        j = jnp.where(f_cont, st["j"] + 1, st["j"])
+
+        # next_x = j + 1 (set before the N check); restart or finish
+        nx = jnp.where(j_in, st["j"] + 1, st["j"])
+        nx = jnp.where(is_init, st["x"] + 1, nx)
+        x2 = jnp.where(f_end, nx, st["x"])
+        done = f_end & (x2 >= lens)
+        phase2 = jnp.where(f_end, jnp.where(done, P_DONE, P_INIT),
+                           phase)
+
+        # INIT: 1-base interval, then forward from x + 1
+        init_bad = is_init & ~x_ok
+        xb = jnp.where(init_bad, st["x"] + 1, x2)
+        done_b = init_bad & (xb >= lens)
+        phase2 = jnp.where(init_bad, jnp.where(done_b, P_DONE, P_INIT),
+                           phase2)
+        init_go = is_init & x_ok
+        ck = jnp.where(init_go, fmi.count[xac], ck)
+        cl = jnp.where(init_go, fmi.count[3 - xac], cl)
+        cs = jnp.where(init_go, fmi.count[xac + 1] - fmi.count[xac], cs)
+        j = jnp.where(init_go, st["x"] + 1, j)
+        phase2 = jnp.where(init_go, P_FWD, phase2)
+
+        return dict(phase=phase2, x=xb, j=j, ck=ck, cl=cl, cs=cs,
+                    tick=st["tick"] + 1, out=out)
+
+    stf = jax.lax.while_loop(cond, body, st0)
+    if with_ticks:
+        return stf["out"], stf["tick"]
+    return stf["out"]
+
+
+def collect_smems_rl(fmi: DeviceFMIndex, codes, lens, *,
+                     min_seed_len: int, split_len: int,
+                     split_width: int, max_mem_intv: int,
+                     max_out: int = None):
+    """Three-pass SMEM collection on read-per-lane machines; output is
+    bit-identical to collect_smems_device (mem_collect_smem,
+    src/bwamem.cpp:648-795). Pass 2 needs no covers-x filter: the
+    onePos walk inherently only finds matches through x."""
+    from .smem import _emit_compact
+
+    B, L = codes.shape
+    M = max_out or L
+    bidx = jnp.arange(B, dtype=jnp.int32)
+    zi = jnp.zeros((B,), jnp.int32)
+
+    p1 = one_pos_machine(
+        fmi, codes, lens, bidx, zi, jnp.ones((B,), jnp.int32),
+        lens > 0, True, min_seed_len, M,
+        SmemBuf.empty(B, M, fmi.pos_dtype))
+
+    # pass-2 task extraction (same recipe as smems_reseed)
+    M1 = p1.m.shape[1]
+    valid = jnp.arange(M1)[None, :] < p1.cnt[:, None]
+    cand = (valid
+            & ((p1.n + 1 - p1.m) >= split_len)
+            & (p1.s <= split_width))
+    flat = cand.reshape(B * M1)
+    flat_idx = jnp.arange(B * M1, dtype=jnp.int32)
+    key = jnp.where(flat, flat_idx, jnp.int32(1 << 30))
+    T = B
+    order = jnp.argsort(key)[:T]
+    t_valid = jnp.take(key, order) < (1 << 30)
+    t_read = (order // M1).astype(jnp.int32)
+    t_slot = order % M1
+    t_x = ((p1.n[t_read, t_slot] + 1 + p1.m[t_read, t_slot]) >> 1)
+    t_mi = jnp.where(t_valid, p1.s[t_read, t_slot] + 1, 1)
+    p2t = one_pos_machine(
+        fmi, codes, lens, t_read, t_x.astype(jnp.int32),
+        t_mi.astype(jnp.int32), t_valid, False, min_seed_len, M,
+        SmemBuf.empty(T, M, fmi.pos_dtype))
+    # remap task rows -> read rows (tasks are read-sorted)
+    tmask = (jnp.arange(M)[None, :] < p2t.cnt[:, None]) \
+        & t_valid[:, None]
+    p2 = _emit_compact(tmask, p2t.m, p2t.n, p2t.k, p2t.l, p2t.s,
+                       SmemBuf.empty(B, M, fmi.pos_dtype),
+                       rows=t_read)
+
+    parts = [p1, p2]
+    if max_mem_intv > 0:
+        parts.append(seed_strategy_machine(
+            fmi, codes, lens, max_mem_intv, min_seed_len + 1, M))
+    combined = concat_smems(*parts)
+    valid = jnp.concatenate(
+        [jnp.arange(b.m.shape[1])[None, :] < b.cnt[:, None]
+         for b in parts], axis=1)
+    key = ((combined.m.astype(jnp.int64) << 32)
+           | combined.n.astype(jnp.int64))
+    key = jnp.where(valid, key, jnp.int64(2 ** 62))
+    order = jnp.argsort(key, axis=1)
+    take = lambda arr: jnp.take_along_axis(arr, order, axis=1)
+    return SmemBuf(take(combined.m), take(combined.n), take(combined.k),
+                   take(combined.l), take(combined.s), combined.cnt)

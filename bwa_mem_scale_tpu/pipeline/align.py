@@ -70,6 +70,10 @@ class PipelineConfig:
     max_regs: int = 64                   # extension candidates per read
     max_pairs: int = 4096                # extension pairs per batch
     target_pad: int = 8
+    # "sweep": position-parallel sweep (ops/smem.py); "readlane":
+    # read-per-lane micro-op machine (ops/smem_rl.py) — fewer, smaller
+    # gathers; bit-identical output; ignores the FMA table.
+    seed_engine: str = "sweep"
 
 
 def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
@@ -91,6 +95,13 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
             min_seed_len=opt.min_seed_len, split_len=opt.split_len,
             split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
             max_out=cfg.max_smem_out or L, pos_dtype=fmi.pos_dtype)
+    elif cfg.seed_engine == "readlane":
+        from ..ops.smem_rl import collect_smems_rl
+        bufs = collect_smems_rl(
+            fmi, codes, lens,
+            min_seed_len=opt.min_seed_len, split_len=opt.split_len,
+            split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
+            max_out=cfg.max_smem_out or L)
     else:
         bufs = collect_smems_device(
             fmi, codes, lens,
