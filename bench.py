@@ -136,6 +136,9 @@ def main():
     n_out = sum(1 for _ in stream.ready())
     assert n_out == BATCH
 
+    from bwa_mem_scale_tpu.utils.profiling import PROFILER
+    PROFILER.totals.clear()
+    PROFILER.counts.clear()
     stream = SeStream(aligner, BATCH, READ_LEN)
     t0 = time.time()
     total = 0
@@ -148,6 +151,8 @@ def main():
     n_out += sum(1 for _ in stream.ready())
     assert n_out == total, (n_out, total)
     dt = time.time() - t0
+    if os.environ.get("BENCH_PROFILE"):
+        PROFILER.report()
     rps = total / dt
     print(f"* end-to-end: {rps:,.0f} reads/s ({dt:.2f}s for {total})",
           file=sys.stderr)

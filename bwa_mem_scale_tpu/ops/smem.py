@@ -488,9 +488,10 @@ def collect_smems_device(fmi: DeviceFMIndex, codes, lens, *,
     valid = jnp.concatenate(
         [jnp.arange(b.m.shape[1])[None, :] < b.cnt[:, None]
          for b in parts], axis=1)
-    key = ((combined.m.astype(jnp.int64) << 32)
-           | combined.n.astype(jnp.int64))
-    key = jnp.where(valid, key, jnp.int64(2 ** 62))
+    # int32 key: m, n < 2^15 for any supported read length (int64
+    # compare/sort is emulated and ~2x slower on TPU)
+    key = (combined.m << 16) | combined.n
+    key = jnp.where(valid, key, jnp.int32(2 ** 30))
     order = jnp.argsort(key, axis=1)
     take = lambda arr: jnp.take_along_axis(arr, order, axis=1)
     return SmemBuf(take(combined.m), take(combined.n), take(combined.k),

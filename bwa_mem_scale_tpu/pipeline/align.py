@@ -327,10 +327,24 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
               & (ch_r + ch_l <= re_f[:, None]))
     seedcov = jnp.sum(jnp.where(inside, ch_l, 0), axis=1)
 
+    # One int32 matrix holding every per-pair field the host needs:
+    # each device->host array fetch pays a full round trip on the
+    # axon tunnel (~35 ms), so the host reads ONE array instead of 12
+    # (measured 0.55 s -> ~0.1 s per batch). int64 ref positions are
+    # split into 31-bit halves (always nonnegative).
+    i32 = lambda x: x.astype(jnp.int32)
+    packed = jnp.stack(
+        [i32(p_valid), p_read.astype(jnp.int32), i32(qb), i32(qe_f),
+         i32(score_f), i32(truesc), i32(a_w), i32(seedcov),
+         i32(p_rid), i32(p_len),
+         i32(rb & 0x7FFFFFFF), i32(rb >> 31),
+         i32(re_f & 0x7FFFFFFF), i32(re_f >> 31)], axis=1)
+
     return dict(
         valid=p_valid, read=p_read, qb=qb, qe=qe_f, rb=rb, re=re_f,
         score=score_f, truesc=truesc, w=a_w, seedcov=seedcov,
         rid=p_rid, seedlen0=p_len, frac_rep=frac_rep,
+        packed=packed,
         smem_cnt=bufs.cnt, coord_total=total,
         chain_overflow=ch.overflow, reg_overflow=reg_overflow,
         pair_overflow=pair_overflow,
@@ -406,26 +420,34 @@ class TpuAligner:
         return self._regs_from_device(out, codes)
 
     def _regs_from_device(self, out, codes: np.ndarray):
-        out = {k: np.asarray(v) for k, v in out.items()}
+        # Two fetches total (see the `packed` comment in
+        # seed_chain_extend): the per-pair matrix and frac_rep.
+        pk = np.asarray(out["packed"])
+        frac_rep = np.asarray(out["frac_rep"])
         is_alt = self.idx.bns.is_alt
         B = codes.shape[0]
 
+        (valid, read, qb_a, qe_a, score_a, truesc_a, w_a, seedcov_a,
+         rid_a, seedlen0_a, rb_lo, rb_hi, re_lo, re_hi) = pk.T
+        rb_a = (rb_hi.astype(np.int64) << 31) | rb_lo
+        re_a = (re_hi.astype(np.int64) << 31) | re_lo
+
         all_regs: List[List[AlnReg]] = [[] for _ in range(B)]
         # Pairs come back compacted in (read, processing-rank) order.
-        n_valid = int(out["valid"].sum())
+        n_valid = int(valid.sum())
         for j in range(n_valid):
-            i = int(out["read"][j])
+            i = int(read[j])
             a = AlnReg(
-                rb=int(out["rb"][j]), re=int(out["re"][j]),
-                qb=int(out["qb"][j]), qe=int(out["qe"][j]),
-                rid=int(out["rid"][j]),
-                score=int(out["score"][j]),
-                truesc=int(out["truesc"][j]),
-                w=int(out["w"][j]),
-                seedcov=int(out["seedcov"][j]),
-                seedlen0=int(out["seedlen0"][j]),
-                frac_rep=float(out["frac_rep"][i]),
-                is_alt=bool(is_alt[int(out["rid"][j])]),
+                rb=int(rb_a[j]), re=int(re_a[j]),
+                qb=int(qb_a[j]), qe=int(qe_a[j]),
+                rid=int(rid_a[j]),
+                score=int(score_a[j]),
+                truesc=int(truesc_a[j]),
+                w=int(w_a[j]),
+                seedcov=int(seedcov_a[j]),
+                seedlen0=int(seedlen0_a[j]),
+                frac_rep=float(frac_rep[i]),
+                is_alt=bool(is_alt[int(rid_a[j])]),
             )
             if a.qe > a.qb:
                 all_regs[i].append(a)
@@ -473,6 +495,7 @@ class TpuAligner:
         dispatch the CIGAR DP asynchronously (3-stage pipeline:
         extend | cigar | records)."""
         from .finalize import BatchFinalizer
+        from ..utils.profiling import PROFILER
         opt = self.opt
         bns = self.idx.bns
         ref = self.idx.ref_string
@@ -482,36 +505,45 @@ class TpuAligner:
         if pm_dev is not None:
             from .perfect import perfect_sam_records
             from ..ops.emf import FW_MATCHED, RC_MATCHED
-            pm = {k: np.asarray(v) for k, v in pm_dev.items()}
-            is_pm = ((pm["code"] == FW_MATCHED)
-                     | (pm["code"] == RC_MATCHED))
+            # single fetch: only code/slot are consumed host-side
+            cs = np.asarray(jnp.stack(
+                [pm_dev["code"], pm_dev["slot"]], axis=1))
+            pm_code, pm_slot = cs[:, 0], cs[:, 1]
+            is_pm = ((pm_code == FW_MATCHED)
+                     | (pm_code == RC_MATCHED))
             self.emf_checked += len(lens)
             self.emf_hits += int(is_pm.sum())
             for i in np.flatnonzero(is_pm):
                 read = codes[i, : lens[i]].astype(np.uint8)
                 pm_records[int(i)] = perfect_sam_records(
                     opt, bns, self.emf, ref, read,
-                    int(pm["code"][i]), int(pm["slot"][i]))
+                    int(pm_code[i]), int(pm_slot[i]))
 
-        all_regs = self._regs_from_device(out, codes)
+        with PROFILER.phase("fetch_regs"):
+            all_regs = self._regs_from_device(out, codes)
         queries = []
         finalized = []
-        for i, regs in enumerate(all_regs):
-            query = codes[i, : lens[i]].astype(np.uint8)
-            queries.append(query)
-            regs = sort_dedup_patch(opt, bns, ref, query, regs)
-            rid = read_ids[i] if read_ids is not None else id_offset + i
-            regs, _ = mark_primary(opt, regs, rid)
-            if opt.flag & MEM_F_PRIMARY5:
-                reorder_primary5(opt.T, regs)
-            finalized.append(regs)
+        with PROFILER.phase("dedup_primary"):
+            for i, regs in enumerate(all_regs):
+                query = codes[i, : lens[i]].astype(np.uint8)
+                queries.append(query)
+                regs = sort_dedup_patch(opt, bns, ref, query, regs)
+                rid = (read_ids[i] if read_ids is not None
+                       else id_offset + i)
+                regs, _ = mark_primary(opt, regs, rid)
+                if opt.flag & MEM_F_PRIMARY5:
+                    reorder_primary5(opt.T, regs)
+                finalized.append(regs)
         fin = BatchFinalizer(opt, self.idx)
-        state = fin.begin_batch(queries, finalized)
+        with PROFILER.phase("cigar_begin"):
+            state = fin.begin_batch(queries, finalized)
         return (fin, state, pm_records)
 
     def finalize_stage_b(self, stage):
+        from ..utils.profiling import PROFILER
         fin, state, pm_records = stage
-        out_records = fin.complete_batch(state)
+        with PROFILER.phase("cigar_complete"):
+            out_records = fin.complete_batch(state)
         for i, recs in pm_records.items():
             out_records[i] = recs
         return out_records

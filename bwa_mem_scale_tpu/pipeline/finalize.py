@@ -15,6 +15,8 @@ from typing import List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.profiling import PROFILER
+
 from ..config import MemOptions, MEM_F_ALL, MEM_F_NO_MULTI
 from ..ops import kswg
 from ..ref.extend import AlnReg
@@ -32,9 +34,12 @@ class _Job:
     re: int
     w2: int
     truesc: int
+    is_fw: bool = True
     # results
     cigar: Optional[list] = None
     score: int = 0
+    nm: int = -1           # filled by the native path
+    md: str = ""
 
 
 class BatchFinalizer:
@@ -44,11 +49,18 @@ class BatchFinalizer:
 
     # -- core: batched gen_cigar with the reg2aln retry loop --------------
     def _resolve_begin(self, jobs: List[_Job]):
-        """Dispatch the first (and almost always only) CIGAR DP round
-        asynchronously; returns a context for _resolve_complete."""
+        """Run (native) or dispatch (device) the CIGAR resolution;
+        returns a context for _resolve_complete."""
         opt = self.opt
         if not jobs:
             return None
+        from . import native_kswg
+        if native_kswg.available():
+            # native path: the whole retry loop + NM/MD in one C call
+            # (the reference's own host-side CIGAR architecture)
+            with PROFILER.phase("kswg_native"):
+                native_kswg.finalize_batch(jobs, opt)
+            return ("native",)
         for j in jobs:
             j.w2 = min(j.w2, opt.w << 2)
         dp_jobs, res = self._gen_cigar_dispatch(
@@ -58,7 +70,7 @@ class BatchFinalizer:
     def _resolve_complete(self, ctx) -> None:
         """Collect the first round and run the (rare) band-widening
         retries synchronously (mem_reg2aln's w2 loop)."""
-        if ctx is None:
+        if ctx is None or ctx == ("native",):
             return
         opt = self.opt
         jobs, dp_jobs, res = ctx
@@ -136,20 +148,24 @@ class BatchFinalizer:
             ts[i, : len(j.rseq)] = j.rseq
             qlens[i] = len(j.query)
             tlens[i] = len(j.rseq)
-        res = kswg.ksw_global_batch(
-            jnp.asarray(qs), jnp.asarray(qlens), jnp.asarray(ts),
-            jnp.asarray(tlens), jnp.asarray(ws),
-            opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, opt.mat)
+        with PROFILER.phase(f"kswg_dispatch_P{P}_Q{QL}_T{TL}"):
+            res = kswg.ksw_global_batch(
+                jnp.asarray(qs), jnp.asarray(qlens), jnp.asarray(ts),
+                jnp.asarray(tlens), jnp.asarray(ws),
+                opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, opt.mat)
         return dp_jobs, res
 
     def _gen_cigar_collect(self, dp_jobs, res) -> None:
         if not dp_jobs:
             return
-        score = np.asarray(res.score)
-        ops = np.asarray(res.ops)
-        n_ops = np.asarray(res.n_ops)
-        tdel = np.asarray(res.tail_del)
-        tins = np.asarray(res.tail_ins)
+        # two fetches, not five: each fetch is a tunnel round trip
+        with PROFILER.phase("kswg_fetch"):
+            meta = np.asarray(jnp.stack(
+                [res.score, res.n_ops, res.tail_del, res.tail_ins],
+                axis=1))
+            score, n_ops, tdel, tins = meta.T
+            ops = np.asarray(res.ops)
+        PROFILER.counts["kswg_jobs"] += len(dp_jobs)
         for i, j in enumerate(dp_jobs):
             j.score = int(score[i])
             j.cigar = kswg.rle_cigar(ops[i], int(n_ops[i]), int(tdel[i]),
@@ -176,7 +192,8 @@ class BatchFinalizer:
             q = q[::-1].copy()
             r = r[::-1].copy()
         return _Job(read_idx=read_idx, reg=ar, query=q, rseq=r,
-                    rb=rb, re=re, w2=w2, truesc=ar.truesc)
+                    rb=rb, re=re, w2=w2, truesc=ar.truesc,
+                    is_fw=rb < bns.l_pac)
 
     def job_to_aln(self, job: _Job, l_query: int, secondary: bool) -> Aln:
         opt = self.opt
@@ -188,9 +205,13 @@ class BatchFinalizer:
             a.flag |= 0x100
         cigar = job.cigar
         is_fw = job.rb < bns.l_pac
-        nm, md = compute_nm_md(cigar, job.query, job.rseq, is_fw)
-        a.NM = nm
-        a.MD = md
+        if job.nm >= 0:        # native path already computed NM/MD
+            a.NM = job.nm
+            a.MD = job.md
+        else:
+            nm, md = compute_nm_md(cigar, job.query, job.rseq, is_fw)
+            a.NM = nm
+            a.MD = md
         pos_f, is_rev = bns.depos(np.int64(job.rb if is_fw else job.re - 1))
         pos = int(pos_f)
         a.is_rev = bool(is_rev)
@@ -234,6 +255,8 @@ class BatchFinalizer:
         jobs: List[_Job] = []
         plans = []  # per read: (selected [(reg_idx, job|None)], xa info)
 
+        ph = PROFILER.phase("cigar_jobs_build")
+        ph.__enter__()
         for i, (query, regs) in enumerate(zip(queries, regs_per_read)):
             l_query = len(query)
             # XA candidates (mem_gen_alt, src/bwamem_extra.cpp:130-183)
@@ -283,6 +306,7 @@ class BatchFinalizer:
                     jobs.append(jb)
                 selected.append((k, jb))
             plans.append((selected, xa_jobs))
+        ph.__exit__(None, None, None)
 
         ctx = self._resolve_begin(jobs)
         return (queries, regs_per_read, plans, ctx, extra_flag)
@@ -291,7 +315,8 @@ class BatchFinalizer:
         queries, regs_per_read, plans, ctx, extra_flag = state
         opt = self.opt
         bns = self.idx.bns
-        self._resolve_complete(ctx)
+        with PROFILER.phase("cigar_resolve"):
+            self._resolve_complete(ctx)
 
         out: List[List[Aln]] = []
         for i, (query, regs) in enumerate(zip(queries, regs_per_read)):

@@ -236,10 +236,17 @@ def run_rescue_jobs(opt: MemOptions, jobs: List[_RescueJob],
             jnp.asarray(tlens), jnp.asarray(opt.mat, jnp.int32),
             opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
             minsc, int(opt.mat.max()))
-        res = {k: np.asarray(v) for k, v in zip(res._fields, res)}
-        return [(int(res["score"][k]), int(res["te"][k]),
-                 int(res["qe"][k]), int(res["score2"][k]),
-                 int(res["tb"][k]), int(res["qb"][k]))
+        # one stacked fetch instead of six (tunnel round trips)
+        names = list(res._fields)
+        mat_res = np.asarray(jnp.stack(
+            [getattr(res, f).astype(jnp.int32) for f in names], axis=1))
+        col = {f: i for i, f in enumerate(names)}
+        return [(int(mat_res[k, col["score"]]),
+                 int(mat_res[k, col["te"]]),
+                 int(mat_res[k, col["qe"]]),
+                 int(mat_res[k, col["score2"]]),
+                 int(mat_res[k, col["tb"]]),
+                 int(mat_res[k, col["qb"]]))
                 for k in range(len(jobs))]
     out = []
     for j in jobs:

@@ -17,6 +17,8 @@ from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
+from ..utils.profiling import PROFILER
+
 
 class SeStream:
     """Feed raw read batches in, collect per-read records in input
@@ -58,8 +60,10 @@ class SeStream:
             # host-side probe: a device probe would have to be fetched
             # and the fetch drains the in-flight extend batch
             from ..index.perfect import emf_lookup_host
-            pm = emf_lookup_host(self.al.emf, self.al.idx.ref_string,
-                                 codes, lens)
+            with PROFILER.phase("emf_probe_host"):
+                pm = emf_lookup_host(self.al.emf,
+                                     self.al.idx.ref_string,
+                                     codes, lens)
         is_pm = np.zeros(n, dtype=bool)
         if pm is not None:
             is_pm = ((pm["code"] == FW_MATCHED)
@@ -68,11 +72,12 @@ class SeStream:
             self.al.emf_hits += int(is_pm.sum())
             opt, bns = self.al.opt, self.al.idx.bns
             ref = self.al.idx.ref_string
-            for i in np.flatnonzero(is_pm):
-                read = codes[i, : lens[i]].astype(np.uint8)
-                self.results[int(ids[i])] = perfect_sam_records(
-                    opt, bns, self.al.emf, ref, read,
-                    int(pm["code"][i]), int(pm["slot"][i]))
+            with PROFILER.phase("emf_records"):
+                for i in np.flatnonzero(is_pm):
+                    read = codes[i, : lens[i]].astype(np.uint8)
+                    self.results[int(ids[i])] = perfect_sam_records(
+                        opt, bns, self.al.emf, ref, read,
+                        int(pm["code"][i]), int(pm["slot"][i]))
         for i in np.flatnonzero(~is_pm):
             self.backlog_codes.append(codes[i])
             self.backlog_lens.append(int(lens[i]))
@@ -92,25 +97,31 @@ class SeStream:
             codes = np.concatenate(
                 [codes, np.full((pad, self.L), 4, np.int32)])
             lens = np.concatenate([lens, np.zeros(pad, np.int32)])
-        # EMF already ran; dispatch the extend program only
-        handle = self.al.dispatch_batch(codes, lens, skip_emf=True)
+        # Ordering is built around the axon queue being depth-1: a
+        # dispatch while another program runs BLOCKS until it finishes
+        # (measured: a tiny jit call behind the 0.6 s seeder blocked
+        # 513 ms). So: (1) advance the pipeline FIRST — the extend(i-1)
+        # fetch is the natural sync point and the cigar DP then lands
+        # on an idle device; (2) enqueue extend(i) right behind the
+        # short cigar program (~0.1 s block); (3) do all remaining
+        # host work — cigar fetch + record building — while extend(i)
+        # runs.
+        while self.pending:
+            ids1, h = self.pending.popleft()
+            with PROFILER.phase("finalize_a"):
+                self.pending2.append(
+                    (ids1, self.al.finalize_stage_a(h, read_ids=ids1)))
+        with PROFILER.phase("dispatch_extend"):
+            handle = self.al.dispatch_batch(codes, lens, skip_emf=True)
         # pad ids for dead lanes (their empty reg lists ignore the id)
         self.pending.append((ids + [-1] * (self.B - take), handle))
-        # Advance older batches one stage each. Ordering matters: the
-        # extend(i-1) fetch happens after extend(i) was dispatched, and
-        # the cigar(i-2) fetch happens after cigar(i-1) was dispatched,
-        # so every fetch only waits on device work that is needed
-        # anyway and the device queue never drains.
-        while len(self.pending) > 1:
-            ids1, h = self.pending.popleft()
-            self.pending2.append(
-                (ids1, self.al.finalize_stage_a(h, read_ids=ids1)))
-        while len(self.pending2) > 1:
+        while self.pending2:
             self._complete_oldest()
 
     def _complete_oldest(self) -> None:
         ids, stage = self.pending2.popleft()
-        recs = self.al.finalize_stage_b(stage)
+        with PROFILER.phase("finalize_b"):
+            recs = self.al.finalize_stage_b(stage)
         for j, rid in enumerate(ids):
             if rid >= 0:
                 self.results[rid] = recs[j]
@@ -126,7 +137,8 @@ class SeStream:
             self._dispatch(len(self.backlog_ids))
         while self.pending:
             ids1, h = self.pending.popleft()
-            self.pending2.append(
-                (ids1, self.al.finalize_stage_a(h, read_ids=ids1)))
+            with PROFILER.phase("finalize_a"):
+                self.pending2.append(
+                    (ids1, self.al.finalize_stage_a(h, read_ids=ids1)))
         while self.pending2:
             self._complete_oldest()

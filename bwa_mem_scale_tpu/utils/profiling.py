@@ -10,8 +10,12 @@ from __future__ import annotations
 
 import collections
 import contextlib
+import os
 import sys
 import time
+
+_TRACE = bool(os.environ.get("PROFILE_TRACE"))
+_T0 = time.perf_counter()
 
 
 class PhaseProfiler:
@@ -25,9 +29,13 @@ class PhaseProfiler:
         try:
             yield
         finally:
-            dt = time.perf_counter() - t0
+            t1 = time.perf_counter()
+            dt = t1 - t0
             self.totals[name] += dt
             self.counts[name] += 1
+            if _TRACE:
+                print(f"[trace {t0 - _T0:9.3f} +{dt:7.3f}] {name}",
+                      file=sys.stderr)
 
     def report(self, file=sys.stderr):
         if not self.totals:
