@@ -555,27 +555,22 @@ class TpuAligner:
         return self.finalize_batch(self.dispatch_batch(codes, lens),
                                    id_offset)
 
-    def align_pairs_and_finalize(self, codes: np.ndarray,
-                                 lens: np.ndarray, id_offset: int = 0):
-        """Paired-end path: codes [2N, L] with mates interleaved
-        (2i, 2i+1). Returns (records per read, mate record per read).
-
-        Mirrors worker_sam's PE flow (src/bwamem.cpp:1668-1830):
-        per-read regions (EMF hits via mem_perfect2reg), batch
-        insert-size stats, batched mate rescue, then per-pair pairing
-        and record composition.
-        """
-        from .pe import (mem_pestat, build_rescue_jobs, run_rescue_jobs,
-                         apply_rescues, sam_pe_records)
+    def dispatch_pairs(self, codes: np.ndarray, lens: np.ndarray):
+        """PE stage 1: host EMF probe + async extend dispatch.
+        codes [2N, L] with mates interleaved (2i, 2i+1)."""
         opt = self.opt
         bns = self.idx.bns
         ref = self.idx.ref_string
         B = codes.shape[0]
         assert B % 2 == 0
-
         pm_regs = {}
         lens_eff = np.asarray(lens)
-        pm = self.emf_filter(codes, lens)
+        pm = None
+        if self.emf is not None and codes.shape[1] >= self.emf.seed_len:
+            # host probe (as in the SE stream): a device probe is an
+            # extra program + fetch on the serialized execute queue
+            from ..index.perfect import emf_lookup_host
+            pm = emf_lookup_host(self.emf, ref, codes, lens)
         if pm is not None:
             from .perfect import perfect_regs
             from ..ops.emf import FW_MATCHED, RC_MATCHED
@@ -590,8 +585,33 @@ class TpuAligner:
                     pm_regs[int(i)] = perfect_regs(
                         opt, bns, self.emf, ref, read,
                         int(pm["code"][i]), int(pm["slot"][i]))
+        handle = self.dispatch_batch(
+            codes, np.asarray(lens_eff, dtype=np.int32), skip_emf=True)
+        return (codes, lens, pm_regs, handle)
 
-        all_regs = self.align_batch(codes, lens_eff)
+    def fetch_pairs(self, ph):
+        """PE stage 2: the extend-result fetch — the device sync
+        point. Call BEFORE dispatching the next batch (a fetch waits
+        for the whole execute queue)."""
+        codes, lens, pm_regs, handle = ph
+        out = handle[3]
+        from ..utils.profiling import PROFILER
+        with PROFILER.phase("fetch_regs"):
+            all_regs = self._regs_from_device(out, codes)
+        return (codes, lens, pm_regs, all_regs)
+
+    def pe_post(self, fetched, id_offset: int = 0):
+        """PE stage 3 (host-only): pestat, native mate rescue,
+        pairing, record composition — overlap with the next batch's
+        extend. Mirrors worker_sam's PE flow
+        (src/bwamem.cpp:1668-1830)."""
+        from .pe import (mem_pestat, build_rescue_jobs, run_rescue_jobs,
+                         apply_rescues, sam_pe_records)
+        opt = self.opt
+        bns = self.idx.bns
+        ref = self.idx.ref_string
+        codes, lens, pm_regs, all_regs = fetched
+        B = codes.shape[0]
         queries = [codes[i, : lens[i]].astype(np.uint8)
                    for i in range(B)]
         for i in range(B):
@@ -629,6 +649,14 @@ class TpuAligner:
             mates[2 * p], mates[2 * p + 1] = m2
         batcher.resolve()
         return records, mates
+
+    def align_pairs_and_finalize(self, codes: np.ndarray,
+                                 lens: np.ndarray, id_offset: int = 0):
+        """Synchronous PE path: dispatch + fetch + host post in one
+        call. The driver pipelines the three stages instead."""
+        return self.pe_post(
+            self.fetch_pairs(self.dispatch_pairs(codes, lens)),
+            id_offset)
 
     def align_reads_to_sam(self, batch, id_offset: int = 0) -> List[str]:
         codes, lens = batch.padded_codes()

@@ -105,6 +105,7 @@ def run_alignment(aligner, fastq_paths: List[str], out,
                                               len(records), records,
                                               which, rg_id=rg_id))
 
+    pe_pending = None   # (batch, fetched, id_offset) awaiting pe_post
     while True:
         item = q.get()
         if item is None:
@@ -114,10 +115,19 @@ def run_alignment(aligner, fastq_paths: List[str], out,
         batch = item
         codes, lens = batch.padded_codes()
         if paired:
+            # Depth-1 execute queue: fetch the in-flight batch FIRST
+            # (sync point), dispatch the next extend, then do the
+            # host-side PE work under it (stream.py has the details).
             with PROFILER.phase("align_batch"):
-                records_per_read, mates = aligner.align_pairs_and_finalize(
-                    codes.astype(np.int32), lens, id_offset)
-            emit(batch, records_per_read, mates)
+                if pe_pending is not None:
+                    b0, ph0, off0 = pe_pending
+                    fetched0 = aligner.fetch_pairs(ph0)
+                ph = aligner.dispatch_pairs(codes.astype(np.int32),
+                                            lens)
+                if pe_pending is not None:
+                    records0, mates0 = aligner.pe_post(fetched0, off0)
+                    emit(b0, records0, mates0)
+                pe_pending = (batch, ph, id_offset)
         else:
             if stream is None:
                 stream = SeStream(aligner, batch_reads,
@@ -129,6 +139,12 @@ def run_alignment(aligner, fastq_paths: List[str], out,
             emit_ready()
         n_reads += len(batch)
         id_offset += len(batch)
+    if pe_pending is not None:
+        b0, ph0, off0 = pe_pending
+        with PROFILER.phase("align_batch"):
+            records0, mates0 = aligner.pe_post(
+                aligner.fetch_pairs(ph0), off0)
+        emit(b0, records0, mates0)
     if stream is not None:
         with PROFILER.phase("align_batch"):
             stream.flush()

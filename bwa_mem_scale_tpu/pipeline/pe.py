@@ -214,6 +214,13 @@ def run_rescue_jobs(opt: MemOptions, jobs: List[_RescueJob],
     minsc = opt.min_seed_len * opt.a
     if not jobs:
         return []
+    from . import native_kswa
+    if native_kswa.available():
+        # host-native SW: a device round trip costs more than the
+        # whole job list on this platform
+        return native_kswa.align_batch(
+            [j.seq for j in jobs], [j.target for j in jobs], opt,
+            minsc)
     if use_device:
         import jax.numpy as jnp
         from ..ops.kswa import ksw_align_batch
