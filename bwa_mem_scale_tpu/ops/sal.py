@@ -90,10 +90,19 @@ def expand_and_lookup(fmi: DeviceFMIndex, smems: SmemBuf, max_occ: int,
 
     slot = jnp.arange(max_coords)[None, :]       # [1, C]
     coord_valid = slot < total[:, None]
-    # Which SMEM does each slot belong to? searchsorted per row.
-    seed_idx = jax.vmap(
-        lambda cs, sl: jnp.searchsorted(cs, sl, side="right")
-    )(csum, jnp.broadcast_to(slot, (B, max_coords))).astype(jnp.int32)
+    # Which SMEM does each slot belong to? Scatter each (nonzero)
+    # SMEM's index at its start slot and forward-fill with a running
+    # max — one scatter + cummax instead of a vmapped binary search
+    # (searchsorted measured 0.22 s/batch on TPU at [4096, 256]).
+    # Starts of nonzero SMEMs are strictly increasing, so max+fill
+    # reproduces searchsorted(csum, slot, side="right") exactly on
+    # the slots that coord_valid keeps.
+    ii = jnp.broadcast_to(
+        jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
+    tgt = jnp.where(n_i > 0, starts, max_coords)   # OOB rows drop
+    mark = jnp.full((B, max_coords), -1, jnp.int32)
+    mark = mark.at[jnp.arange(B)[:, None], tgt].max(ii, mode="drop")
+    seed_idx = jax.lax.cummax(mark, axis=1)
     seed_idx = jnp.clip(seed_idx, 0, M - 1)
     bidx = jnp.arange(B)[:, None]
     within = slot - starts[bidx, seed_idx]

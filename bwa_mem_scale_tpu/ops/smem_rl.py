@@ -449,12 +449,10 @@ def collect_smems_rl(fmi: DeviceFMIndex, codes, lens, *,
     cand = (valid
             & ((p1.n + 1 - p1.m) >= split_len)
             & (p1.s <= split_width))
+    from .smem import compact_indices
     flat = cand.reshape(B * M1)
-    flat_idx = jnp.arange(B * M1, dtype=jnp.int32)
-    key = jnp.where(flat, flat_idx, jnp.int32(1 << 30))
     T = B
-    order = jnp.argsort(key)[:T]
-    t_valid = jnp.take(key, order) < (1 << 30)
+    order, t_valid = compact_indices(flat, T)
     t_read = (order // M1).astype(jnp.int32)
     t_slot = order % M1
     t_x = ((p1.n[t_read, t_slot] + 1 + p1.m[t_read, t_slot]) >> 1)

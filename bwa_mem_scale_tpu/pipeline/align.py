@@ -134,10 +134,12 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
     score_by_pos = ch.seed_score[bidx[:, None], slot_by_pos]  # [B, C, S]
     sidx = jnp.arange(S, dtype=jnp.int32)[None, None, :]
     svalid = (sidx < ns_by_pos[:, :, None]) & kept_chain[:, :, None]
-    # seeds processed best-score-first, ties by larger index
-    seed_key = (score_by_pos.astype(jnp.int64) << 16) | sidx.astype(
-        jnp.int64)
-    seed_key = jnp.where(svalid, seed_key, jnp.int64(-1))
+    # seeds processed best-score-first, ties by larger index.
+    # int32 key (scores < 2^15 for any supported read length; int64
+    # sorts are emulated on TPU)
+    seed_key = ((score_by_pos.astype(jnp.int32) << 16)
+                | sidx.astype(jnp.int32))
+    seed_key = jnp.where(svalid, seed_key, jnp.int32(-1))
     seed_perm = jnp.argsort(-seed_key, axis=2).astype(jnp.int32)
     seed_rank = jnp.argsort(seed_perm, axis=2).astype(jnp.int32)
 
@@ -207,11 +209,9 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
     # Only real candidates get sequence buffers and DP lanes; results
     # come back in (read, processing-rank) order for the host.
     PX = cfg.max_pairs
+    from ..ops.smem import compact_indices
     flatv = sel_valid.reshape(B * R)
-    fidx = jnp.arange(B * R, dtype=jnp.int32)
-    pkey = jnp.where(flatv, fidx, jnp.int32(1 << 30))
-    pidx = jnp.argsort(pkey)[:PX].astype(jnp.int32)
-    p_valid = jnp.take(pkey, pidx) < (1 << 30)
+    pidx, p_valid = compact_indices(flatv, PX)
     pair_overflow = flatv.sum() > PX
     p_read = pidx // R
 
