@@ -33,7 +33,9 @@ BATCH = int(os.environ.get("BENCH_BATCH", 4096))
 N_BATCHES = int(os.environ.get("BENCH_N_BATCHES", 8))
 ERR = 0.01
 FMA_K = int(os.environ.get("BENCH_FMA_K", 11))
-SEED_ENGINE = os.environ.get("BENCH_SEED_ENGINE", "sweep")
+# readlane: read-per-lane SMEM machine — 2x the position-parallel
+# sweep on this chip (see ops/smem_rl.py)
+SEED_ENGINE = os.environ.get("BENCH_SEED_ENGINE", "readlane")
 
 CACHE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),

@@ -62,6 +62,14 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
     read end (pass 1); False runs a single position (pass 2).
     Emissions land in per-READ slots of `out` (capacity max_out).
     with_ticks=True returns (buf, n_ticks) for perf diagnostics.
+
+    NOTE on FMA: an INIT-phase ladder fast-forward (the reference's
+    smem-table, src/FMI_search.cpp:1414-1463) was evaluated and
+    rejected for this machine: in a lockstep loop the jump logic's
+    ~8 extra gather/scatter ops execute EVERY tick (~+20%/tick) to
+    save only ~10 ticks per restart — a net wash. The sweep engine
+    (ops/smem.py) does use the table, where the fast-forward
+    amortizes over all positions at once.
     """
     T = t_read.shape[0]
     B, L = codes.shape

@@ -141,7 +141,15 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
                 | sidx.astype(jnp.int32))
     seed_key = jnp.where(svalid, seed_key, jnp.int32(-1))
     seed_perm = jnp.argsort(-seed_key, axis=2).astype(jnp.int32)
-    seed_rank = jnp.argsort(seed_perm, axis=2).astype(jnp.int32)
+    # inverse permutation by scatter (argsort of a permutation is
+    # just its inverse; a second sort is wasted work)
+    C_ = seed_perm.shape[1]
+    seed_rank = jnp.zeros_like(seed_perm).at[
+        jnp.arange(B)[:, None, None],
+        jnp.arange(C_)[None, :, None],
+        seed_perm].set(jnp.broadcast_to(
+            jnp.arange(S, dtype=jnp.int32)[None, None, :],
+            seed_perm.shape))
 
     cand_key = jnp.where(
         svalid,
