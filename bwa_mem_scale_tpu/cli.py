@@ -72,6 +72,9 @@ def _add_mem_opts(p: argparse.ArgumentParser):
                    help="mean[,std[,max[,min]]] fixed insert size")
     p.add_argument("-v", type=int, default=3, dest="verbosity")
     p.add_argument("-R", type=str, default=None, dest="rg_line")
+    p.add_argument("-x", type=str, default=None, dest="read_type",
+                   help="preset: pacbio, pbref, ont2d, intractg "
+                        "(src/fastmap.cpp:1129-1169)")
     p.add_argument("--batch-reads", type=int, default=512,
                    help="device batch size in reads")
     p.add_argument("--seed-engine", choices=("sweep", "readlane"),
@@ -85,6 +88,67 @@ def _opts_from_args(args) -> MemOptions:
     e_del, e_ins = (int(x) for x in args.gap_ext.split(","))
     p5, p3 = (int(x) for x in args.clip_pen.split(","))
     xa = [int(x) for x in args.xa_hits.split(",")]
+
+    # -x read-type presets (src/fastmap.cpp:1129-1169) and the -A
+    # rescaling of update_a (src/fastmap.cpp:716-730). "Explicitly
+    # set" is approximated as "differs from the argparse default"
+    # (the reference tracks opt0 bits; the corner where a user
+    # re-passes a default value explicitly behaves as unset here).
+    def _unset(name, default):
+        return getattr(args, name) == default
+
+    mode = args.read_type
+    if mode is not None:
+        if mode == "intractg":
+            if _unset("gap_open", "6,6"):
+                o_del = o_ins = 16
+            if _unset("mismatch", 4):
+                args.mismatch = 9
+            if _unset("clip_pen", "5,5"):
+                p5 = p3 = 5
+        elif mode in ("pacbio", "pbref", "ont2d"):
+            if _unset("gap_open", "6,6"):
+                o_del = o_ins = 1
+            if _unset("gap_ext", "1,1"):
+                e_del = e_ins = 1
+            if _unset("mismatch", 4):
+                args.mismatch = 1
+            if _unset("split_factor", 1.5):
+                args.split_factor = 10.0
+            if mode == "ont2d":
+                if _unset("min_chain_weight", 0):
+                    args.min_chain_weight = 20
+                if _unset("min_seed_len", 19):
+                    args.min_seed_len = 14
+            else:
+                if _unset("min_chain_weight", 0):
+                    args.min_chain_weight = 40
+                if _unset("min_seed_len", 19):
+                    args.min_seed_len = 17
+            if _unset("clip_pen", "5,5"):
+                p5 = p3 = 0
+        else:
+            raise SystemExit(f"unknown read type '{mode}'")
+    elif args.match != 1:
+        # update_a: -A rescales every default-valued penalty
+        a = args.match
+        if _unset("mismatch", 4):
+            args.mismatch *= a
+        if _unset("min_score", 30):
+            args.min_score *= a
+        if _unset("gap_open", "6,6"):
+            o_del *= a
+            o_ins *= a
+        if _unset("gap_ext", "1,1"):
+            e_del *= a
+            e_ins *= a
+        if _unset("zdrop", 100):
+            args.zdrop *= a
+        if _unset("clip_pen", "5,5"):
+            p5 *= a
+            p3 *= a
+        if _unset("pen_unpaired", 17):
+            args.pen_unpaired *= a
     opt = MemOptions(
         a=args.match, b=args.mismatch, o_del=o_del, o_ins=o_ins,
         e_del=e_del, e_ins=e_ins, pen_clip5=p5, pen_clip3=p3,

@@ -41,6 +41,18 @@ def fill_scmat(a: int, b: int) -> np.ndarray:
     return mat
 
 
+def needs_seed_sw_filter(opt, l_query: int) -> bool:
+    """True when mem_flt_chained_seeds is NOT a no-op for this read
+    length — the long-read regime (src/bwamem.cpp:506-513: skip when
+    min_l > MEM_SEEDSW_COEF * l_query). Reads in this regime are
+    routed through the oracle pipeline, which implements the seed-SW
+    filter (ref/chain.flt_chained_seeds)."""
+    import math
+    min_l = (1.1 * opt.min_chain_weight if opt.min_chain_weight
+             else 5.5 * math.log(max(l_query, 2)))
+    return min_l <= 0.05 * l_query
+
+
 @dataclasses.dataclass
 class MemOptions:
     """Runtime alignment options (defaults = reference mem_opt_init)."""

@@ -419,8 +419,10 @@ class TpuAligner:
         """codes [B, L] int (nt4), lens [B]. Returns per-read raw
         AlnReg lists."""
         L = int(codes.shape[1])
-        assert 5.5 * math.log(max(int(lens.max()), 2)) > 0.05 * L, \
-            "long-read seed SW filter not implemented"
+        from ..config import needs_seed_sw_filter
+        assert not needs_seed_sw_filter(self.opt, int(lens.max())), \
+            "long-read regime reads must go through the oracle path " \
+            "(the driver routes them; see config.needs_seed_sw_filter)"
         out = self._jit_extend(self.fmi, self.dbns,
                                jnp.asarray(codes, dtype=jnp.int32),
                                jnp.asarray(lens, dtype=jnp.int32), L=L,
@@ -471,8 +473,10 @@ class TpuAligner:
         codes = np.ascontiguousarray(codes, dtype=np.int32)
         lens = np.ascontiguousarray(lens, dtype=np.int32)
         L = int(codes.shape[1])
-        assert 5.5 * math.log(max(int(lens.max()), 2)) > 0.05 * L, \
-            "long-read seed SW filter not implemented"
+        from ..config import needs_seed_sw_filter
+        assert not needs_seed_sw_filter(self.opt, int(lens.max())), \
+            "long-read regime reads must go through the oracle path " \
+            "(the driver routes them; see config.needs_seed_sw_filter)"
         pm_dev = None
         lens_dev = jnp.asarray(lens)
         codes_dev = jnp.asarray(codes)

@@ -38,13 +38,32 @@ class SeStream:
         self.pending2: deque = deque()   # (ids, finalize stage)
 
     # -- input side ----------------------------------------------------
+    def post_result(self, rid: int, records) -> None:
+        """Install externally computed records for a read (used by the
+        driver's oracle route for long-read-regime reads)."""
+        self.results[rid] = records
+
     def feed(self, codes: np.ndarray, lens: np.ndarray,
-             first_id: int) -> None:
-        """codes [n, L'] int32 (L' <= max_len), lens [n]."""
+             first_id: int, skip=None) -> None:
+        """codes [n, L'] int32 (L' <= max_len), lens [n]. Rows where
+        `skip` is True are not processed — the caller resolves them
+        via post_result."""
         from .perfect import perfect_sam_records
         from ..ops.emf import FW_MATCHED, RC_MATCHED
         n = codes.shape[0]
         ids = np.arange(first_id, first_id + n)
+        if skip is not None and skip.any():
+            keep = ~skip
+            codes = codes[keep]
+            lens = np.asarray(lens)[keep]
+            ids = ids[keep]
+            n = codes.shape[0]
+            if n == 0:
+                return
+            # drop padding introduced by the (skipped) longest reads
+            w = int(lens.max())
+            if w < codes.shape[1]:
+                codes = codes[:, :w]
         if codes.shape[1] > self.L:   # longer reads arrived: grow
             self.L = int(codes.shape[1])
             self.backlog_codes = [

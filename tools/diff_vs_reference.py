@@ -43,7 +43,13 @@ def main():
         print(__doc__)
         return 2
     ref_bin, fasta = sys.argv[1], sys.argv[2]
-    fqs = sys.argv[3:]
+    rest = sys.argv[3:]
+    extra = []
+    if "--args" in rest:       # pass-through mem options, e.g.
+        i = rest.index("--args")   # --args "-x pacbio"
+        extra = rest[i + 1].split()
+        rest = rest[:i] + rest[i + 2:]
+    fqs = rest
     tmp = tempfile.mkdtemp(prefix="diffref.")
     ref_sam = os.path.join(tmp, "ref.sam")
     our_sam = os.path.join(tmp, "ours.sam")
@@ -51,16 +57,17 @@ def main():
     if not os.path.exists(fasta + ".bwt.2bit.64"):
         subprocess.check_call([ref_bin, "index", fasta])
     with open(ref_sam, "w") as f:
-        subprocess.check_call([ref_bin, "mem", "-t", "1", fasta] + fqs,
-                              stdout=f, stderr=subprocess.DEVNULL)
+        subprocess.check_call(
+            [ref_bin, "mem", "-t", "1", *extra, fasta] + fqs,
+            stdout=f, stderr=subprocess.DEVNULL)
     prefix = fasta + ".tpuidx"
     if not os.path.exists(fasta + ".tpuidx.npz"):
         subprocess.check_call(
             [sys.executable, "-m", "bwa_mem_scale_tpu.cli", "index",
              fasta, "-p", fasta])
     subprocess.check_call(
-        [sys.executable, "-m", "bwa_mem_scale_tpu.cli", "mem", fasta,
-         *fqs, "-o", our_sam])
+        [sys.executable, "-m", "bwa_mem_scale_tpu.cli", "mem", *extra,
+         fasta, *fqs, "-o", our_sam])
 
     ref, ref_other = load(ref_sam)
     ours, our_other = load(our_sam)
