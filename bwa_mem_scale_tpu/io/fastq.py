@@ -48,10 +48,23 @@ class ReadBatch:
         return codes, lens
 
 
+def _is_url(path: str) -> bool:
+    return path.startswith(("http://", "https://", "ftp://"))
+
+
 def _open_text(path: str):
     if path == "-":
         import sys
         return sys.stdin
+    if _is_url(path):
+        # kopen's http/ftp sources (src/kopen.cpp) via urllib; .gz
+        # URLs are decompressed on the fly
+        import io as _io
+        import urllib.request
+        raw = urllib.request.urlopen(path)
+        if path.endswith(".gz"):
+            return _io.TextIOWrapper(gzip.GzipFile(fileobj=raw))
+        return _io.TextIOWrapper(raw)
     if path.endswith(".gz"):
         return gzip.open(path, "rt")
     return open(path, "rt")
@@ -73,7 +86,7 @@ def iter_fastx(path: str) -> Iterator[Read]:
     """Iterate FASTQ or FASTA records. Plain 4-line FASTQ goes through
     the native scanner when available (the reference's kseq path);
     FASTA and anything irregular falls back to the Python parser."""
-    if path != "-":
+    if path != "-" and not _is_url(path):
         try:
             with (gzip.open(path, "rb") if path.endswith(".gz")
                   else open(path, "rb")) as probe:

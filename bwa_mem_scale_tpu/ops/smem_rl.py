@@ -84,15 +84,17 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
     # stacks: prev (A) and curr (B); entries (k, l, s, n). m is NOT
     # stored per entry: every entry of one stack generation shares it
     # (x for the forward pushes, the round's j for backward keeps), so
-    # it lives in a per-lane scalar mA. NOTE: packing column pairs
-    # into int64 was measured 2x SLOWER per tick on TPU v5e (int64 is
-    # emulated; measured 1.14 -> 2.39 ms/tick) — keep columns separate.
-    packed = False
+    # it lives in a per-lane scalar mA.
+    # Layout experiments (both measured SLOWER on TPU v5e; keep the
+    # four separate [T, L] columns):
+    # - int64 pair packing: 1.14 -> 2.39 ms/tick (int64 emulated)
+    # - [T, L, 4] int32 array-of-structs with [T, 4]-slice scatters:
+    #   0.84 -> 1.12 ms/tick (row-slice scatter is NOT one cheap op)
+    aos = False
 
     def stack():
-        if packed:
-            return dict(kl=jnp.zeros((T, L), jnp.int64),
-                        sn=jnp.zeros((T, L), jnp.int64))
+        if aos:
+            return jnp.zeros((T, L, 4), jnp.int32)
         return dict(k=jnp.zeros((T, L), pos_dtype),
                     l=jnp.zeros((T, L), pos_dtype),
                     s=jnp.zeros((T, L), pos_dtype),
@@ -115,7 +117,8 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
         curr_s=jnp.full((T,), -1, pos_dtype),
         kept=jnp.zeros((T,), bool),            # emitted_or_kept
         tick=jnp.zeros((), jnp.int32),
-        out=out,
+        out=((jnp.stack([out.m, out.n, out.k, out.l, out.s], axis=-1),
+              out.cnt) if aos else out),
     )
     if with_ticks:
         st0["done_at"] = jnp.where(t_valid, jnp.int32(-1),
@@ -123,11 +126,9 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
 
     def push(stk, cnt, do, k, l, s, n):
         i = jnp.where(do, cnt, L)
-        if packed:
-            kl = (k.astype(jnp.int64) << 32) | l.astype(jnp.int64)
-            sn = (s.astype(jnp.int64) << 32) | n.astype(jnp.int64)
-            return (dict(kl=stk["kl"].at[tidx, i].set(kl, mode="drop"),
-                         sn=stk["sn"].at[tidx, i].set(sn, mode="drop")),
+        if aos:
+            vals = jnp.stack([k, l, s, n.astype(jnp.int32)], axis=-1)
+            return (stk.at[tidx, i].set(vals, mode="drop"),
                     cnt + do.astype(jnp.int32))
         return (dict(k=stk["k"].at[tidx, i].set(k, mode="drop"),
                      l=stk["l"].at[tidx, i].set(l, mode="drop"),
@@ -137,15 +138,21 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
 
     def at(stk, i):
         i = jnp.clip(i, 0, L - 1)
-        if packed:
-            kl = stk["kl"][tidx, i]
-            sn = stk["sn"][tidx, i]
-            return ((kl >> 32).astype(pos_dtype),
-                    (kl & 0xFFFFFFFF).astype(pos_dtype),
-                    (sn >> 32).astype(pos_dtype),
-                    (sn & 0xFFFFFFFF).astype(jnp.int32))
+        if aos:
+            row = stk[tidx, i]                 # [T, 4] one gather
+            return row[:, 0], row[:, 1], row[:, 2], row[:, 3]
         return (stk["k"][tidx, i], stk["l"][tidx, i],
                 stk["s"][tidx, i], stk["n"][tidx, i])
+
+    def emit(o, mask, m, n, k, l, s):
+        if aos:
+            v, cnt = o
+            M2 = v.shape[1]
+            idx = jnp.where(mask, cnt, M2)
+            vals = jnp.stack([m, n, k, l, s], axis=-1)
+            return (v.at[tidx, idx].set(vals, mode="drop"),
+                    cnt + mask.astype(jnp.int32))
+        return o.emit(mask, m, n, k, l, s)
 
     def cond(st):
         return jnp.any(st["phase"] != P_DONE)
@@ -246,7 +253,7 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
         emit_sc = die & ((pn - pm + 1) >= min_seed_len)
         # emit0 and emit_sc are mutually exclusive (b_dead vs bs_run)
         # and emit the same scan entry -> one scatter for both
-        out_b = out_b.emit(emit0 | emit_sc, pm, pn, pk, pl, ps)
+        out_b = emit(out_b, emit0 | emit_sc, pm, pn, pk, pl, ps)
         keep_sc = bs_run & ~die & (ns != st["curr_s"])
         hit = emit_sc | keep_sc
         kept = kept | hit
@@ -277,7 +284,9 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
         # its (now stale) content — slots past the reset cntB are never
         # read, and the next round's pushes overwrite them in order.
         A = jax.tree_util.tree_map(
-            lambda xa, xb: jnp.where(round_over[:, None], xb, xa),
+            lambda xa, xb: jnp.where(
+                round_over.reshape((T,) + (1,) * (xa.ndim - 1)),
+                xb, xa),
             A, Bs)
         cntA = jnp.where(round_over, cntB, cntA)
         cntB = jnp.where(round_over, 0, cntB)
@@ -336,9 +345,14 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
         return st2
 
     stf = jax.lax.while_loop(cond, body, st0)
+    ob = stf["out"]
+    if aos:
+        v, cnt = ob
+        ob = SmemBuf(v[..., 0], v[..., 1], v[..., 2], v[..., 3],
+                     v[..., 4], cnt)
     if with_ticks:
-        return stf["out"], (stf["tick"], stf["done_at"])
-    return stf["out"]
+        return ob, (stf["tick"], stf["done_at"])
+    return ob
 
 
 def seed_strategy_machine(fmi: DeviceFMIndex, codes, lens,
@@ -353,6 +367,7 @@ def seed_strategy_machine(fmi: DeviceFMIndex, codes, lens,
     pos_dtype = fmi.pos_dtype
     bidx = jnp.arange(B)
     mx = jnp.asarray(max_intv, pos_dtype)
+    aos = False   # single-scatter emits measured slower (see above)
 
     st0 = dict(
         phase=jnp.where(lens > 0, P_INIT, P_DONE).astype(jnp.int32),
@@ -362,7 +377,9 @@ def seed_strategy_machine(fmi: DeviceFMIndex, codes, lens,
         cl=jnp.zeros((B,), pos_dtype),
         cs=jnp.zeros((B,), pos_dtype),
         tick=jnp.zeros((), jnp.int32),
-        out=SmemBuf.empty(B, max_out, pos_dtype),
+        out=((jnp.zeros((B, max_out, 5), jnp.int32),
+              jnp.zeros((B,), jnp.int32)) if aos
+             else SmemBuf.empty(B, max_out, pos_dtype)),
     )
 
     def cond(st):
@@ -391,8 +408,16 @@ def seed_strategy_machine(fmi: DeviceFMIndex, codes, lens,
         # seed hit: s dropped below max_intv at sufficient length
         hit = f_run & (ns < mx) \
             & ((st["j"] - st["x"] + 1) >= min_seed_len)
-        out = st["out"].emit(hit & (ns > 0), st["x"], st["j"],
-                             nk, nl, ns)
+        do_emit = hit & (ns > 0)
+        if aos:
+            v, cnt = st["out"]
+            idx = jnp.where(do_emit, cnt, max_out)
+            vals = jnp.stack([st["x"], st["j"], nk, nl, ns], axis=-1)
+            out = (v.at[bidx, idx].set(vals, mode="drop"),
+                   cnt + do_emit.astype(jnp.int32))
+        else:
+            out = st["out"].emit(do_emit, st["x"], st["j"],
+                                 nk, nl, ns)
         f_end = is_fwd & (~j_in | ~a_ok | hit)
         f_cont = f_run & ~hit
 
@@ -426,9 +451,14 @@ def seed_strategy_machine(fmi: DeviceFMIndex, codes, lens,
                     tick=st["tick"] + 1, out=out)
 
     stf = jax.lax.while_loop(cond, body, st0)
+    ob = stf["out"]
+    if aos:
+        v, cnt = ob
+        ob = SmemBuf(v[..., 0], v[..., 1], v[..., 2], v[..., 3],
+                     v[..., 4], cnt)
     if with_ticks:
-        return stf["out"], stf["tick"]
-    return stf["out"]
+        return ob, stf["tick"]
+    return ob
 
 
 def collect_smems_rl(fmi: DeviceFMIndex, codes, lens, *,

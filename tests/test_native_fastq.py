@@ -61,3 +61,35 @@ def test_truncated_record(tmp_path):
         pytest.skip("native fastq library unavailable")
     with pytest.raises(ValueError):
         [c.n for c in scan_chunks(str(p))]
+
+
+def test_http_fastq_input(tmp_path):
+    """kopen parity: FASTQ over http (and .gz over http) via urllib
+    (src/kopen.cpp's http source)."""
+    import gzip
+    import http.server
+    import socketserver
+    import threading
+
+    from bwa_mem_scale_tpu.io.fastq import iter_fastx
+
+    fq = tmp_path / "r.fq"
+    fq.write_text("@a\nACGT\n+\nIIII\n@b\nTTTT\n+\nIIII\n")
+    with open(fq, "rb") as fi, gzip.open(tmp_path / "r.fq.gz",
+                                         "wb") as fo:
+        fo.write(fi.read())
+
+    import functools
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(tmp_path))
+    httpd = socketserver.TCPServer(("127.0.0.1", 0), handler)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        names = [r.name for r in
+                 iter_fastx(f"http://127.0.0.1:{port}/r.fq")]
+        namesz = [r.name for r in
+                  iter_fastx(f"http://127.0.0.1:{port}/r.fq.gz")]
+        assert names == ["a", "b"] == namesz
+    finally:
+        httpd.shutdown()
