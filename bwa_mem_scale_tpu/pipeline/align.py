@@ -429,11 +429,17 @@ class TpuAligner:
                                fma=self.dfma, ert=self.dert)
         return self._regs_from_device(out, codes)
 
-    def _regs_from_device(self, out, codes: np.ndarray):
+    def _regs_from_device(self, out, codes: np.ndarray,
+                          prefetched=None):
         # Two fetches total (see the `packed` comment in
-        # seed_chain_extend): the per-pair matrix and frac_rep.
-        pk = np.asarray(out["packed"])
-        frac_rep = np.asarray(out["frac_rep"])
+        # seed_chain_extend): the per-pair matrix and frac_rep —
+        # already local when a prefetch thread ran.
+        if prefetched is not None:
+            pk = prefetched["packed"]
+            frac_rep = prefetched["frac_rep"]
+        else:
+            pk = np.asarray(out["packed"])
+            frac_rep = np.asarray(out["frac_rep"])
         is_alt = self.idx.bns.is_alt
         B = codes.shape[0]
 
@@ -493,6 +499,44 @@ class TpuAligner:
                                ert=self.dert)
         return (codes, lens, pm_dev, out)
 
+    def start_prefetch(self, handle):
+        """Fetch the extend outputs on a background thread (the RPC
+        wait releases the GIL). CURRENTLY UNUSED: measured SLOWER
+        end-to-end (SE 3918 -> 3835, PE 2964 -> 2722 reads/s) — a
+        concurrent fetch RPC contends with the running program on the
+        tunnel. Kept (with the finalize-side plumbing) for hardware
+        where transfers and compute genuinely overlap."""
+        import threading
+        codes, lens, pm_dev, out = handle
+        pm_stacked = None
+        if pm_dev is not None:
+            pm_stacked = jnp.stack(
+                [pm_dev["code"], pm_dev["slot"]], axis=1)
+        slot = {}
+
+        def work():
+            try:
+                slot["packed"] = np.asarray(out["packed"])
+                slot["frac_rep"] = np.asarray(out["frac_rep"])
+                if pm_stacked is not None:
+                    slot["pm_cs"] = np.asarray(pm_stacked)
+            except Exception as e:      # surfaced at join time
+                slot["err"] = e
+
+        th = threading.Thread(target=work, daemon=True)
+        th.start()
+        return (codes, lens, pm_dev, out, {"thread": th, "slot": slot})
+
+    @staticmethod
+    def _join_prefetch(handle):
+        if len(handle) == 5:
+            pf = handle[4]
+            pf["thread"].join()
+            if "err" in pf["slot"]:
+                raise pf["slot"]["err"]
+            return handle[:4], pf["slot"]
+        return handle, None
+
     def finalize_batch(self, handle, id_offset: int = 0,
                        read_ids=None):
         """Host half of align_and_finalize for a dispatched batch.
@@ -511,6 +555,7 @@ class TpuAligner:
         opt = self.opt
         bns = self.idx.bns
         ref = self.idx.ref_string
+        handle, pf = self._join_prefetch(handle)
         codes, lens, pm_dev, out = handle
 
         pm_records = {}
@@ -518,8 +563,9 @@ class TpuAligner:
             from .perfect import perfect_sam_records
             from ..ops.emf import FW_MATCHED, RC_MATCHED
             # single fetch: only code/slot are consumed host-side
-            cs = np.asarray(jnp.stack(
-                [pm_dev["code"], pm_dev["slot"]], axis=1))
+            cs = (pf["pm_cs"] if pf is not None and "pm_cs" in pf
+                  else np.asarray(jnp.stack(
+                      [pm_dev["code"], pm_dev["slot"]], axis=1)))
             pm_code, pm_slot = cs[:, 0], cs[:, 1]
             is_pm = ((pm_code == FW_MATCHED)
                      | (pm_code == RC_MATCHED))
@@ -532,7 +578,8 @@ class TpuAligner:
                     int(pm_code[i]), int(pm_slot[i]))
 
         with PROFILER.phase("fetch_regs"):
-            all_regs = self._regs_from_device(out, codes)
+            all_regs = self._regs_from_device(out, codes,
+                                              prefetched=pf)
         queries = []
         finalized = []
         with PROFILER.phase("dedup_primary"):
@@ -603,13 +650,14 @@ class TpuAligner:
 
     def fetch_pairs(self, ph):
         """PE stage 2: the extend-result fetch — the device sync
-        point. Call BEFORE dispatching the next batch (a fetch waits
-        for the whole execute queue)."""
+        point (prefetched on a background thread since dispatch)."""
         codes, lens, pm_regs, handle = ph
+        handle, pf = self._join_prefetch(handle)
         out = handle[3]
         from ..utils.profiling import PROFILER
         with PROFILER.phase("fetch_regs"):
-            all_regs = self._regs_from_device(out, codes)
+            all_regs = self._regs_from_device(out, codes,
+                                              prefetched=pf)
         return (codes, lens, pm_regs, all_regs)
 
     def pe_post(self, fetched, id_offset: int = 0):

@@ -132,6 +132,11 @@ class SeStream:
                     (ids1, self.al.finalize_stage_a(h, read_ids=ids1)))
         with PROFILER.phase("dispatch_extend"):
             handle = self.al.dispatch_batch(codes, lens, skip_emf=True)
+            # NOTE: fetching on a background thread here (overlap the
+            # fetch wait with record work) was measured SLOWER (SE
+            # 3918 -> 3835, PE 2964 -> 2722 reads/s): the concurrent
+            # fetch RPC contends with the running program on the
+            # tunnel. Keep the fetch synchronous in finalize_a.
         # pad ids for dead lanes (their empty reg lists ignore the id)
         self.pending.append((ids + [-1] * (self.B - take), handle))
         while self.pending2:
