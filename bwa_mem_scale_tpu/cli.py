@@ -81,6 +81,9 @@ def _add_mem_opts(p: argparse.ArgumentParser):
                    default="sweep",
                    help="SMEM seeding kernel: position-parallel sweep "
                         "or read-per-lane machine (identical output)")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="sidecar file tracking emitted reads; rerun "
+                        "with the same arguments resumes and appends")
 
 
 def _opts_from_args(args) -> MemOptions:
@@ -281,14 +284,30 @@ def cmd_mem(argv):
                       "table", file=sys.stderr)
         aligner = TpuAligner(idx, opt, cfg, fma=fma, emf=emf, ert=ert)
 
-    out = sys.stdout if args.output == "-" else open(args.output, "w")
+    skip_reads = 0
+    if args.checkpoint and args.output != "-":
+        import json as _json
+        import os as _os
+        if _os.path.exists(args.checkpoint):
+            with open(args.checkpoint) as f:
+                ck = _json.load(f)
+            if ck.get("inputs") != args.fastq:
+                raise SystemExit("checkpoint was written for different "
+                                 f"inputs: {ck.get('inputs')}")
+            skip_reads = int(ck["reads_emitted"])
+            print(f"* resuming after {skip_reads} reads "
+                  f"({args.checkpoint})", file=sys.stderr)
+    resuming = skip_reads > 0
+    out = (sys.stdout if args.output == "-"
+           else open(args.output, "a" if resuming else "w"))
     rg_id = None
     if args.rg_line:
         for field in args.rg_line.replace("\\t", "\t").split("\t"):
             if field.startswith("ID:"):
                 rg_id = field[3:]
-    out.write(sam_header(idx.bns, args.rg_line,
-                         pg_cl=" ".join(sys.argv)))
+    if not resuming:
+        out.write(sam_header(idx.bns, args.rg_line,
+                             pg_cl=" ".join(sys.argv)))
     paired = args.smart_pairing or len(args.fastq) == 2
     if args.insert_spec:
         from .pipeline.pe import PeStat
@@ -306,7 +325,9 @@ def cmd_mem(argv):
     n_reads = run_alignment(aligner, args.fastq, out,
                             batch_reads=args.batch_reads,
                             chunk_bp=args.chunk_bp, rg_id=rg_id,
-                            n_workers=args.n_threads, paired=paired)
+                            n_workers=args.n_threads, paired=paired,
+                            skip_reads=skip_reads,
+                            checkpoint_path=args.checkpoint)
     if out is not sys.stdout:
         out.close()
     PROFILER.report()

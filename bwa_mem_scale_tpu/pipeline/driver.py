@@ -9,6 +9,7 @@ computes. Output order is input order regardless of batching.
 
 from __future__ import annotations
 
+import os
 import queue
 import sys
 import threading
@@ -41,12 +42,17 @@ def _iter_reads(paths: List[str], paired: bool):
 
 
 def _reader(paths: List[str], batch_reads: int, chunk_bp: Optional[int],
-            q: "queue.Queue", paired: bool = False):
+            q: "queue.Queue", paired: bool = False,
+            skip_reads: int = 0):
     try:
         batch: List[Read] = []
         bp = 0
         step = 2 if paired else 1
+        skipped = 0
         for r in _iter_reads(paths, paired):
+            if skipped < skip_reads:
+                skipped += 1
+                continue
             batch.append(r)
             bp += len(r.seq)
             full = (len(batch) >= batch_reads
@@ -66,19 +72,41 @@ def _reader(paths: List[str], batch_reads: int, chunk_bp: Optional[int],
 def run_alignment(aligner, fastq_paths: List[str], out,
                   batch_reads: int = 512, chunk_bp: Optional[int] = None,
                   rg_id: Optional[str] = None, n_workers: int = 1,
-                  paired: bool = False) -> int:
+                  paired: bool = False, skip_reads: int = 0,
+                  checkpoint_path: Optional[str] = None) -> int:
+    """Stream-align FASTQ to SAM. With checkpoint_path, a sidecar
+    JSON records how many input reads have been fully emitted after
+    each processed batch (written atomically); a rerun resumes by
+    skipping that many reads and appending. Records are always
+    emitted in input order, so the count IS the resume point — an
+    addition over the reference, whose recovery story is re-run
+    (SURVEY section 5.4)."""
     q: "queue.Queue" = queue.Queue(maxsize=4)
     t = threading.Thread(target=_reader,
                          args=(fastq_paths, batch_reads, chunk_bp, q,
-                               paired),
+                               paired, skip_reads),
                          daemon=True)
     t.start()
     n_reads = 0
-    id_offset = 0
+    # global input ordinals (the hash_64 MAPQ tiebreaks use them, so
+    # a resumed run reproduces the original ids)
+    id_offset = skip_reads
+    n_emitted = skip_reads
     opt = aligner.opt
     bns = aligner.idx.bns
 
+    def write_checkpoint():
+        if checkpoint_path is None:
+            return
+        import json as _json
+        tmp = checkpoint_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"reads_emitted": n_emitted,
+                        "inputs": fastq_paths}, f)
+        os.replace(tmp, checkpoint_path)
+
     def emit(batch, records_per_read, mates):
+        nonlocal n_emitted
         with PROFILER.phase("sam_write"):
             for ri, (read, records) in enumerate(
                     zip(batch.reads, records_per_read)):
@@ -87,6 +115,8 @@ def run_alignment(aligner, fastq_paths: List[str], out,
                                               len(records), records,
                                               which, mate=mates[ri],
                                               rg_id=rg_id))
+                n_emitted += 1
+        write_checkpoint()
 
     # SE path: EMF-compacted streaming with one device batch in
     # flight (pipeline/stream.py); records re-emitted in input order.
@@ -97,6 +127,8 @@ def run_alignment(aligner, fastq_paths: List[str], out,
     reads_by_id = {}
 
     def emit_ready():
+        nonlocal n_emitted
+        wrote = False
         for rid, records in stream.ready():
             read = reads_by_id.pop(rid)
             with PROFILER.phase("sam_write"):
@@ -104,6 +136,11 @@ def run_alignment(aligner, fastq_paths: List[str], out,
                     out.write(aln_to_sam_line(opt, bns, read,
                                               len(records), records,
                                               which, rg_id=rg_id))
+            n_emitted += 1
+            wrote = True
+        if wrote:
+            out.flush()
+            write_checkpoint()
 
     pe_pending = None   # (batch, fetched, id_offset) awaiting pe_post
     while True:
@@ -140,6 +177,7 @@ def run_alignment(aligner, fastq_paths: List[str], out,
             if stream is None:
                 stream = SeStream(aligner, batch_reads,
                                   int(codes.shape[1]))
+                stream.next_emit = id_offset   # global ordinals
             for ri, read in enumerate(batch.reads):
                 reads_by_id[id_offset + ri] = read
             # long-read-regime reads (mem_flt_chained_seeds active,
