@@ -54,10 +54,15 @@ def sharded_align_fn(mesh: Mesh, opt: MemOptions, cfg: PipelineConfig,
             ert = extra[i]
         out = seed_chain_extend(fmi, dbns, codes, lens, L=L, opt=opt,
                                 cfg=cfg, fma=fma, ert=ert)
-        # pair-space read indices are shard-local; globalize them.
+        # pair-space read indices are shard-local; globalize them
+        # (both the plain field and column 1 of the packed matrix).
         shard = jax.lax.axis_index(axis)
         out["read"] = jnp.where(
             out["valid"], out["read"] + shard * codes.shape[0], -1)
+        pk = out["packed"]
+        gread = jnp.where(pk[:, 0] == 1,
+                          pk[:, 1] + shard * codes.shape[0], -1)
+        out["packed"] = pk.at[:, 1].set(gread)
         # scalars must grow a shard axis to concatenate over the mesh
         out = {k: (v[None] if v.ndim == 0 else v)
                for k, v in out.items()}

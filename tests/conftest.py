@@ -3,12 +3,17 @@ import sys
 
 # Tests run on CPU with 8 virtual devices so multi-chip sharding paths
 # compile and execute without TPU hardware.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Force CPU through jax.config, not the environment: this container's
+# site setup rewrites jax_platforms to "axon,cpu" (the real-TPU
+# tunnel) AFTER env processing, which silently ran the whole suite on
+# one remote TPU device and skipped every multi-device path. The
+# config update below wins over that, and jax_num_cpu_devices is the
+# mechanism this jax actually honors for virtual devices
+# (--xla_force_host_platform_device_count is ignored).
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
