@@ -297,6 +297,39 @@ def emf_lookup_host(pt: PerfectTable, ref: np.ndarray,
     refr = ref[np.clip(pos_rc[:, None] + iota[None, :], 0, l2 - 1)]
     fwm = has_cand & okf & np.all(~in_len | (reff == codes), axis=1)
     rcm = has_cand & okr & np.all(~in_len | (refr == rcr), axis=1)
+
+    # multi-location rescue (seedmatch_further's list scan,
+    # src/perfect_map.cpp:528-570) — must mirror ops/emf.emf_lookup
+    mi0 = np.where(has_cand, pt.mlidx[np.clip(slot, 0, None)], -1)
+    need = (has_cand & (lens > S) & ~fwm & ~rcm & (mi0 >= 0)
+            & ~has_n & ~too_short)
+    for i in np.flatnonzero(need):
+        sl = int(slot[i])
+        mi_ = int(pt.mlidx[sl])
+        lo2, hi2 = int(pt.ml_off[mi_]), int(pt.ml_off[mi_ + 1])
+        nfw = int(pt.ml_nfw[mi_])
+        Lr = int(lens[i])
+        read = codes[i, :Lr]
+        rc = rcr[i, :Lr]
+        is_rev0 = bool(pt.fwless[sl] != 0) != bool(fwle[i])
+        for k in range(lo2, hi2):
+            loc_c = int(pt.ml_locs[k])
+            isrev = is_rev0 if (k - lo2) < nfw else (not is_rev0)
+            if not isrev:
+                if (loc_c + Lr <= pt.l_pac
+                        and np.array_equal(ref[loc_c: loc_c + Lr],
+                                           read)):
+                    fwm[i] = True
+                    loc[i] = loc_c
+                    break
+            else:
+                p0 = loc_c - (Lr - S)
+                if (p0 >= 0
+                        and np.array_equal(ref[p0: p0 + Lr], rc)):
+                    rcm[i] = True
+                    loc[i] = loc_c
+                    break
+
     code = np.where(too_short, 0,
                     np.where(has_n, 1,
                              np.where(fwm, 3, np.where(rcm, 4, 2))))

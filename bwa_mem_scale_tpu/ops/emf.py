@@ -6,10 +6,10 @@ fingerprint-matching candidate by comparing the full read against the
 reference bytes in both orientations. Mirrors the semantics of
 find_perfect_match_entry (src/perfect_map.cpp:583-661) including the
 longer-than-seed verification (__seedmatch_further, src/perfect.h:474)
-— except that only the entry's primary location is verified on device
-for the len > seed_len case; a miss there falls back to the normal
-pipeline (same SAM, slower) rather than scanning the multi-location
-list.
+and, when the entry's representative location fails it, the scan of
+the entry's multi-location list in the reference's order
+(seedmatch_further, src/perfect_map.cpp:528-570) — gated so batches
+with no such read pay nothing.
 
 Return codes match the reference's FIND_PERFECT_* (src/perfect.h:902):
 0 no-table/short, 1 with-N, 2 not-matched, 3 fw-matched, 4 rc-matched.
@@ -34,12 +34,18 @@ class DeviceEmf:
     loc: jax.Array      # int64 [ncap]
     fp: jax.Array       # uint32 [ncap]
     cnt: jax.Array      # int32 [ncap]
+    fwless: jax.Array   # uint8 [ncap] canonical orientation at loc
+    mlidx: jax.Array    # int32 [ncap]; -1 = single location
+    ml_off: jax.Array   # int64 [nml + 1]
+    ml_nfw: jax.Array   # int32 [nml]
+    ml_locs: jax.Array  # int64 [total]
     seed_len: int
     l_pac: int
     max_probe: int
 
     def tree_flatten(self):
-        return (self.loc, self.fp, self.cnt), (
+        return (self.loc, self.fp, self.cnt, self.fwless, self.mlidx,
+                self.ml_off, self.ml_nfw, self.ml_locs), (
             self.seed_len, self.l_pac, self.max_probe)
 
     @classmethod
@@ -48,8 +54,25 @@ class DeviceEmf:
 
     @classmethod
     def from_host(cls, pt: PerfectTable) -> "DeviceEmf":
+        # pad the variable tables so gathers stay in-bounds even for
+        # nml == 0
+        ml_off = np.asarray(pt.ml_off, np.int64)
+        if ml_off.size < 2:
+            ml_off = np.zeros(2, np.int64)
+        ml_nfw = np.asarray(pt.ml_nfw, np.int32)
+        if ml_nfw.size < 1:
+            ml_nfw = np.zeros(1, np.int32)
+        ml_locs = np.asarray(pt.ml_locs, np.int64)
+        if ml_locs.size < 1:
+            ml_locs = np.zeros(1, np.int64)
         return cls(loc=jnp.asarray(pt.loc), fp=jnp.asarray(pt.fp),
-                   cnt=jnp.asarray(pt.cnt), seed_len=pt.seed_len,
+                   cnt=jnp.asarray(pt.cnt),
+                   fwless=jnp.asarray(pt.fwless),
+                   mlidx=jnp.asarray(pt.mlidx),
+                   ml_off=jnp.asarray(ml_off),
+                   ml_nfw=jnp.asarray(ml_nfw),
+                   ml_locs=jnp.asarray(ml_locs),
+                   seed_len=pt.seed_len,
                    l_pac=pt.l_pac, max_probe=max(pt.max_probe, 1))
 
 
@@ -126,6 +149,70 @@ def emf_lookup(emf: DeviceEmf, ref: jax.Array, codes, lens):
            & jnp.all(~in_len | (reff == codes), axis=1))
     rcm = (has_cand & okr
            & jnp.all(~in_len | (refr == rcr), axis=1))
+
+    # Multi-location rescue for reads longer than the seed whose
+    # entry location fails the extension check: scan the entry's
+    # location list in the reference's order — forward sublist with
+    # the canonical orientation, then the reverse sublist flipped
+    # (seedmatch_further, src/perfect_map.cpp:528-570). Gated on
+    # "any lane needs it" so ordinary batches pay nothing.
+    mi0 = jnp.where(has_cand, emf.mlidx[slot], -1)
+    need = (has_cand & (lens > S) & ~fwm & ~rcm & (mi0 >= 0)
+            & ~has_n & ~too_short)
+
+    def _rescue(_):
+        mic = jnp.clip(mi0, 0)
+        lo = emf.ml_off[mic]
+        hi = emf.ml_off[mic + 1]
+        nfw = (lo + emf.ml_nfw[mic].astype(jnp.int64))
+        n_list = hi - lo
+        ent_fwless = emf.fwless[slot] != 0
+        is_rev0 = ent_fwless != fwle
+        nL = emf.ml_locs.shape[0]
+
+        def cond(st):
+            return jnp.any(st["active"])
+
+        def body(st):
+            j = st["j"]
+            cidx = lo + j
+            in_list = st["active"] & (j < n_list)
+            loc_c = emf.ml_locs[jnp.clip(cidx, 0, nL - 1)]
+            isrev = jnp.where(cidx < nfw, is_rev0, ~is_rev0)
+            posr = loc_c - (lens - S).astype(jnp.int64)
+            start = jnp.where(isrev, posr, loc_c)
+            okb = jnp.where(isrev, posr >= 0,
+                            loc_c + lens <= emf.l_pac)
+            win = ref[jnp.clip(start[:, None] + iota[None, :], 0,
+                               l_pac2 - 1)]
+            tgt = jnp.where(isrev[:, None], rcr, codes)
+            okm = (in_list & okb
+                   & jnp.all(~in_len | (win == tgt), axis=1))
+            newly = okm & ~st["found"]
+            return dict(
+                j=j + 1,
+                active=st["active"] & ~okm & (j + 1 < n_list),
+                found=st["found"] | okm,
+                floc=jnp.where(newly, loc_c, st["floc"]),
+                frev=jnp.where(newly, isrev, st["frev"]))
+
+        st = jax.lax.while_loop(cond, body, dict(
+            j=jnp.zeros((), jnp.int64),
+            active=need,
+            found=jnp.zeros((B,), bool),
+            floc=jnp.zeros((B,), jnp.int64),
+            frev=jnp.zeros((B,), bool)))
+        return st["found"], st["floc"], st["frev"]
+
+    def _no_rescue(_):
+        return (jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int64),
+                jnp.zeros((B,), bool))
+
+    r_found, r_loc, r_rev = jax.lax.cond(jnp.any(need), _rescue,
+                                         _no_rescue, None)
+    fwm = fwm | (r_found & ~r_rev)
+    rcm = rcm | (r_found & r_rev)
+    loc = jnp.where(r_found, r_loc, loc)
 
     code = jnp.where(
         too_short, NO_TABLE,

@@ -511,7 +511,9 @@ class TpuAligner:
         pm_stacked = None
         if pm_dev is not None:
             pm_stacked = jnp.stack(
-                [pm_dev["code"], pm_dev["slot"]], axis=1)
+                [pm_dev["code"].astype(jnp.int64),
+                 pm_dev["slot"].astype(jnp.int64),
+                 pm_dev["loc"]], axis=1)
         slot = {}
 
         def work():
@@ -562,11 +564,13 @@ class TpuAligner:
         if pm_dev is not None:
             from .perfect import perfect_sam_records
             from ..ops.emf import FW_MATCHED, RC_MATCHED
-            # single fetch: only code/slot are consumed host-side
+            # single fetch: code/slot/loc are all the host consumes
             cs = (pf["pm_cs"] if pf is not None and "pm_cs" in pf
                   else np.asarray(jnp.stack(
-                      [pm_dev["code"], pm_dev["slot"]], axis=1)))
-            pm_code, pm_slot = cs[:, 0], cs[:, 1]
+                      [pm_dev["code"].astype(jnp.int64),
+                       pm_dev["slot"].astype(jnp.int64),
+                       pm_dev["loc"]], axis=1)))
+            pm_code, pm_slot, pm_loc = cs[:, 0], cs[:, 1], cs[:, 2]
             is_pm = ((pm_code == FW_MATCHED)
                      | (pm_code == RC_MATCHED))
             self.emf_checked += len(lens)
@@ -575,7 +579,8 @@ class TpuAligner:
                 read = codes[i, : lens[i]].astype(np.uint8)
                 pm_records[int(i)] = perfect_sam_records(
                     opt, bns, self.emf, ref, read,
-                    int(pm_code[i]), int(pm_slot[i]))
+                    int(pm_code[i]), int(pm_slot[i]),
+                    loc0=int(pm_loc[i]))
 
         with PROFILER.phase("fetch_regs"):
             all_regs = self._regs_from_device(out, codes,
@@ -643,7 +648,8 @@ class TpuAligner:
                     read = codes[i, : lens[i]].astype(np.uint8)
                     pm_regs[int(i)] = perfect_regs(
                         opt, bns, self.emf, ref, read,
-                        int(pm["code"][i]), int(pm["slot"][i]))
+                        int(pm["code"][i]), int(pm["slot"][i]),
+                        loc0=int(pm["loc"][i]))
         handle = self.dispatch_batch(
             codes, np.asarray(lens_eff, dtype=np.int32), skip_emf=True)
         return (codes, lens, pm_regs, handle)

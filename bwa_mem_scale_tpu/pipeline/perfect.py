@@ -47,13 +47,16 @@ def _verify_further(ref: np.ndarray, l_pac: int, loc: int, is_rev: bool,
 
 
 def perfect_locations(pt: PerfectTable, ref: np.ndarray, read: np.ndarray,
-                      code: int, slot: int
+                      code: int, slot: int, loc0=None
                       ) -> List[Tuple[int, bool]]:
     """Ordered (location, is_rev) hits for a perfect-matched read.
     Ordering matches get_perfect_locations: forward-strand hits sorted
-    by position first, then reverse-strand hits sorted by rb."""
+    by position first, then reverse-strand hits sorted by rb. loc0 is
+    the probe's verified location — for multi-location-rescued reads
+    (longer than the seed) it differs from the entry's representative,
+    which then simply fails the _verify_further check below."""
     is_rev0 = code == RC_MATCHED
-    ent_loc = int(pt.loc[slot])
+    ent_loc = int(pt.loc[slot]) if loc0 is None else int(loc0)
     fw_list, rc_list = pt.locations(slot)
     l_seq = len(read)
 
@@ -106,11 +109,11 @@ def perfect_dedup(opt: MemOptions, hits: List[Tuple[int, bool]],
 
 def perfect_sam_records(opt: MemOptions, bns, pt: PerfectTable,
                         ref: np.ndarray, read: np.ndarray,
-                        code: int, slot: int) -> List[Aln]:
+                        code: int, slot: int, loc0=None) -> List[Aln]:
     """SE SAM records for a perfect-matched read (mem_perfect2sam)."""
     l_seq = len(read)
     hits = perfect_dedup(
-        opt, perfect_locations(pt, ref, read, code, slot),
+        opt, perfect_locations(pt, ref, read, code, slot, loc0),
         l_seq, pt.seed_len, bns)
     score = l_seq * opt.a
     sub0 = score if len(hits) > 1 else 0
@@ -137,11 +140,11 @@ def perfect_sam_records(opt: MemOptions, bns, pt: PerfectTable,
 
 def perfect_regs(opt: MemOptions, bns, pt: PerfectTable,
                  ref: np.ndarray, read: np.ndarray,
-                 code: int, slot: int) -> List[AlnReg]:
+                 code: int, slot: int, loc0=None) -> List[AlnReg]:
     """PE path: perfect hits as alignment regions (mem_perfect2reg)."""
     l_seq = len(read)
     hits = perfect_dedup(
-        opt, perfect_locations(pt, ref, read, code, slot),
+        opt, perfect_locations(pt, ref, read, code, slot, loc0),
         l_seq, pt.seed_len, bns)
     regs = []
     for loc, is_rev, rid, _pos in hits:

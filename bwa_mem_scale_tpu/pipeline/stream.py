@@ -96,7 +96,8 @@ class SeStream:
                     read = codes[i, : lens[i]].astype(np.uint8)
                     self.results[int(ids[i])] = perfect_sam_records(
                         opt, bns, self.al.emf, ref, read,
-                        int(pm["code"][i]), int(pm["slot"][i]))
+                        int(pm["code"][i]), int(pm["slot"][i]),
+                        loc0=int(pm["loc"][i]))
         for i in np.flatnonzero(~is_pm):
             self.backlog_codes.append(codes[i])
             self.backlog_lens.append(int(lens[i]))

@@ -175,3 +175,53 @@ def test_host_lookup_matches_device(emf_setup):
     hit = (host["code"] == 3) | (host["code"] == 4)
     np.testing.assert_array_equal(dev["slot"][hit], host["slot"][hit])
     np.testing.assert_array_equal(dev["loc"][hit], host["loc"][hit])
+
+
+def test_multi_location_rescue_longer_than_seed():
+    """A read longer than the seed whose entry's representative
+    location does NOT extend-match but another list location does must
+    still come back FW/RC_MATCHED with the rescued location — on both
+    the device and the host probe (seedmatch_further's list scan,
+    src/perfect_map.cpp:528-570)."""
+    rng = np.random.RandomState(9)
+    seq = rng.randint(0, 4, size=8000).astype(np.uint8)
+    unit = rng.randint(0, 4, size=S).astype(np.uint8)
+    p1, p2 = 1000, 5000      # seed occurs at both; context differs
+    seq[p1: p1 + S] = unit
+    seq[p2: p2 + S] = unit
+    bns = BntSeq(l_pac=8000,
+                 anns=[Annotation(name="c", anno="", offset=0,
+                                  length=8000, n_ambs=0)],
+                 ambs=[], seq=seq)
+    idx = build_index(bns)
+    pt = build_perfect_table(idx, seed_len=S)
+
+    ext = 12
+    L = S + ext
+    for p_good in (p1, p2):
+        read = seq[p_good: p_good + L].astype(np.int32)
+        codes = read[None, :]
+        lens = np.array([L], dtype=np.int32)
+        out = _lookup(idx, pt, codes, lens)
+        assert out["code"][0] == FW_MATCHED, p_good
+        assert out["loc"][0] == p_good
+        from bwa_mem_scale_tpu.index.perfect import emf_lookup_host
+        host = emf_lookup_host(pt, idx.ref_string, codes, lens)
+        assert host["code"][0] == out["code"][0]
+        assert host["loc"][0] == out["loc"][0]
+        recs = perfect_sam_records(
+            MemOptions(), bns, pt, idx.ref_string,
+            read.astype(np.uint8), int(out["code"][0]),
+            int(out["slot"][0]), loc0=int(out["loc"][0]))
+        assert recs[0].pos == p_good and recs[0].NM == 0
+
+    # reverse-complement rescue: read is the rc of the p2 context
+    read_rc = (3 - seq[p2 - ext: p2 + S][::-1]).astype(np.int32)
+    codes = read_rc[None, :]
+    out = _lookup(idx, pt, codes, np.array([L], np.int32))
+    assert out["code"][0] == RC_MATCHED
+    from bwa_mem_scale_tpu.index.perfect import emf_lookup_host
+    host = emf_lookup_host(pt, idx.ref_string, codes,
+                           np.array([L], np.int32))
+    assert host["code"][0] == out["code"][0]
+    assert host["loc"][0] == out["loc"][0]
