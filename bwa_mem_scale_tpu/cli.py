@@ -259,6 +259,12 @@ def cmd_mem(argv):
             fma = find_fma(args.prefix)
             emf = find_emf(args.prefix)
             ert = find_ert(args.prefix, idx)
+        if args.ignore_alt:
+            # -j: treat ALT contigs as primary, i.e. ignore the .alt
+            # annotations recorded at index-build time
+            # (src/fastmap.cpp:896, bwa_idx_load's ignore_alt path)
+            for a in idx.bns.anns:
+                a.is_alt = False
         if fma is not None:
             print(f"* FMA ladder table loaded (K={fma.K})",
                   file=sys.stderr)

@@ -63,3 +63,37 @@ def test_device_pipeline_maps_correctly(small_index, aligner):
         if got and abs(got[0] - pos) < 5 and got[1] == is_rev:
             ok += 1
     assert ok >= 30
+
+
+def test_alt_contig_flag_and_ignore(small_genome):
+    """Regions on a .alt contig carry is_alt (feeding mark_primary's
+    ALT logic and XA grouping); clearing the annotations — what the
+    CLI's -j does before building the aligner — removes it."""
+    import numpy as np
+    from bwa_mem_scale_tpu.config import MemOptions
+    from bwa_mem_scale_tpu.index.bntseq import BntSeq, Annotation
+    from bwa_mem_scale_tpu.index.build import build_index
+    from bwa_mem_scale_tpu.pipeline.align import TpuAligner
+
+    seq = small_genome.seq[:12000].copy()
+    anns = [Annotation(name="chr", anno="", offset=0, length=9000,
+                       n_ambs=0),
+            Annotation(name="alt1", anno="", offset=9000, length=3000,
+                       n_ambs=0, is_alt=True)]
+    bns = BntSeq(l_pac=12000, anns=anns, ambs=[], seq=seq)
+    idx = build_index(bns)
+
+    read = seq[10000:10100].astype(np.int32)  # inside the ALT contig
+    codes = read[None, :]
+    lens = np.array([100], np.int32)
+
+    al = TpuAligner(idx, MemOptions())
+    regs = al.align_batch(codes, lens)[0]
+    assert regs and all(r.is_alt for r in regs if r.rid == 1)
+    assert any(r.rid == 1 for r in regs)
+
+    for a in idx.bns.anns:      # the CLI's -j path
+        a.is_alt = False
+    al2 = TpuAligner(idx, MemOptions())
+    regs2 = al2.align_batch(codes, lens)[0]
+    assert regs2 and not any(r.is_alt for r in regs2)
