@@ -61,15 +61,61 @@ class Lrand48:
         self.x = (self.A * self.x + self.C) & self.MASK
         return self.x >> 17
 
+    def _affine_pow(self, n: int):
+        """(a, c) with f^n(x) = a*x + c mod 2^48 (repeated squaring)."""
+        ra, rc = 1, 0
+        a, c = self.A, self.C
+        while n:
+            if n & 1:
+                ra, rc = (a * ra) & self.MASK, (a * rc + c) & self.MASK
+            a, c = (a * a) & self.MASK, (a * c + c) & self.MASK
+            n >>= 1
+        return ra, rc
+
     def fill_and3(self, n: int) -> np.ndarray:
-        """n successive lrand48()&3 draws (vectorised LCG jump)."""
-        out = np.empty(n, dtype=np.uint8)
+        """n successive lrand48()&3 draws.
+
+        Large fills run the LCG lane-parallel in numpy (L lanes, each
+        stepping by the L-fold affine composition f^L) — at hg38 scale
+        the scalar Python loop over every hole base would cost tens of
+        minutes. Bit-exact with the scalar path (tested)."""
+        L = 4096
+        if n < 2 * L:
+            out = np.empty(n, dtype=np.uint8)
+            x = self.x
+            for i in range(n):
+                x = (self.A * x + self.C) & self.MASK
+                out[i] = (x >> 17) & 3
+            self.x = x
+            return out
+        # seed lanes with f^1(x)..f^L(x) serially
+        lane = np.empty(L, dtype=np.uint64)
         x = self.x
-        for i in range(n):
+        for j in range(L):
             x = (self.A * x + self.C) & self.MASK
-            out[i] = (x >> 17) & 3
-        self.x = x
-        return out
+            lane[j] = x
+        nsteps = -(-n // L)
+        out = np.empty(nsteps * L, dtype=np.uint8)
+        out[:L] = ((lane >> np.uint64(17)) & np.uint64(3)).astype(np.uint8)
+        aL, cL = self._affine_pow(L)
+        # 24-bit limb multiply keeps every partial product below 2^50
+        # (uint64-safe): (ah*2^24+al)*x mod 2^48.
+        M24 = np.uint64((1 << 24) - 1)
+        ah = np.uint64(aL >> 24)
+        al = np.uint64(aL & ((1 << 24) - 1))
+        cv = np.uint64(cL)
+        M48 = np.uint64(self.MASK)
+        s24 = np.uint64(24)
+        for k in range(1, nsteps):
+            xl = lane & M24
+            xh = lane >> s24
+            cross = ((ah * xl + al * xh) & M24) << s24
+            lane = (al * xl + cross + cv) & M48
+            out[k * L:(k + 1) * L] = ((lane >> np.uint64(17))
+                                      & np.uint64(3)).astype(np.uint8)
+        an, cn = self._affine_pow(n)
+        self.x = (an * self.x + cn) & self.MASK
+        return out[:n]
 
 
 @dataclasses.dataclass
@@ -224,20 +270,19 @@ def parse_fasta(path_or_str, is_text: bool = False) -> BntSeq:
             if amb_pos.size:
                 # Group contiguous runs of the same ambiguity character
                 # into hole records (reference: src/bntseq.cpp:284-301).
-                run_start = 0
-                for i in range(1, len(amb_pos) + 1):
-                    contiguous = (
-                        i < len(amb_pos)
-                        and amb_pos[i] == amb_pos[i - 1] + 1
-                        and raw[amb_pos[i]] == raw[amb_pos[i - 1]]
-                    )
-                    if not contiguous:
-                        p0 = amb_pos[run_start]
-                        ambs.append(Hole(offset=offset + int(p0),
-                                         length=int(amb_pos[i - 1] - p0 + 1),
-                                         amb=chr(raw[p0])))
-                        n_amb_records += 1
-                        run_start = i
+                # Vectorized run detection: a per-position Python loop
+                # costs minutes over hg38-scale N blocks.
+                ch = raw[amb_pos]
+                brk = np.flatnonzero((np.diff(amb_pos) != 1)
+                                     | (ch[1:] != ch[:-1]))
+                starts = np.concatenate(([0], brk + 1))
+                ends = np.concatenate((brk, [amb_pos.size - 1]))
+                for s, e in zip(starts, ends):
+                    ambs.append(Hole(
+                        offset=offset + int(amb_pos[s]),
+                        length=int(amb_pos[e] - amb_pos[s] + 1),
+                        amb=chr(ch[s])))
+                n_amb_records += len(starts)
                 # lrand48 fill must be drawn in sequence order.
                 codes[amb_pos] = rng.fill_and3(amb_pos.size)
             anns.append(Annotation(name=name, anno=comment or "(null)",

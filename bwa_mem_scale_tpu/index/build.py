@@ -65,14 +65,37 @@ def suffix_array(text: np.ndarray) -> np.ndarray:
         return suffix_array_doubling(text)
 
 
+_BUILD_CHUNK = 1 << 26  # 64M rows per pass: keeps build temporaries <1 GB
+
+
 def bwt_from_sa(text: np.ndarray, sa: np.ndarray) -> tuple[np.ndarray, int]:
     """BWT over text+sentinel. Sentinel row marked with code 4.
 
-    Returns (bwt codes uint8 [n+1], sentinel_index)."""
-    prev = sa - 1
-    bwt = np.where(sa == 0, np.uint8(4), text[np.where(sa == 0, 0, prev)])
-    sentinel_index = int(np.flatnonzero(sa == 0)[0])
-    return bwt.astype(np.uint8), sentinel_index
+    Returns (bwt codes uint8 [n+1], sentinel_index). Chunked so the
+    int64 fancy-index temporaries stay bounded at genome scale (an
+    hg38-class SA is ~50 GB; whole-array `sa - 1` would double it).
+    Prefers the native prefetching extractor (~3x on large texts)."""
+    try:
+        from . import native_sais
+        return native_sais.bwt_from_sa(text, sa)
+    except (ImportError, OSError):
+        pass
+    n = len(sa)
+    bwt = np.empty(n, dtype=np.uint8)
+    sentinel_index = -1
+    for lo in range(0, n, _BUILD_CHUNK):
+        hi = min(lo + _BUILD_CHUNK, n)
+        sac = sa[lo:hi]
+        zeros = np.flatnonzero(sac == 0)
+        prev = sac - 1
+        if zeros.size:
+            sentinel_index = lo + int(zeros[0])
+            prev[zeros] = 0
+        bwt[lo:hi] = text[prev]
+        if zeros.size:
+            bwt[lo + zeros] = 4
+    assert sentinel_index >= 0
+    return bwt, sentinel_index
 
 
 def build_cp_occ(bwt: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -84,19 +107,34 @@ def build_cp_occ(bwt: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """
     n = len(bwt)
     nblocks = (n + CP_BLOCK_SIZE - 1) // CP_BLOCK_SIZE
-    padded = np.full(nblocks * CP_BLOCK_SIZE, 6, dtype=np.uint8)
-    padded[:n] = bwt
-    blocks = padded.reshape(nblocks, CP_BLOCK_SIZE)
-
-    onehot = blocks[:, :, None] == np.arange(4, dtype=np.uint8)[None, None, :]
-    weights = (np.uint32(1) << np.arange(CP_BLOCK_SIZE - 1, -1, -1,
-                                         dtype=np.uint32))
-    cp_mask = (onehot.astype(np.uint32) *
-               weights[None, :, None]).sum(axis=1, dtype=np.uint32)
-
-    per_block = onehot.sum(axis=1, dtype=np.int64)          # [nb, 4]
-    cp_count = np.zeros((nblocks, 4), dtype=np.int64)
-    np.cumsum(per_block[:-1], axis=0, out=cp_count[1:])
+    cp_mask = np.empty((nblocks, 4), dtype=np.uint32)
+    cp_count = np.empty((nblocks, 4), dtype=np.int64)
+    # Chunked over blocks: the one-hot temporaries would be ~16x the
+    # BWT if materialized whole (hg38-class: ~100 GB).
+    blk_chunk = max(1, _BUILD_CHUNK // CP_BLOCK_SIZE)
+    running = np.zeros(4, dtype=np.int64)
+    for b0 in range(0, nblocks, blk_chunk):
+        b1 = min(b0 + blk_chunk, nblocks)
+        lo, hi = b0 * CP_BLOCK_SIZE, b1 * CP_BLOCK_SIZE
+        if hi <= n:
+            blocks = bwt[lo:hi].reshape(-1, CP_BLOCK_SIZE)
+        else:
+            padded = np.full((b1 - b0) * CP_BLOCK_SIZE, 6, dtype=np.uint8)
+            padded[: n - lo] = bwt[lo:n]
+            blocks = padded.reshape(-1, CP_BLOCK_SIZE)
+        per_block = np.empty((b1 - b0, 4), dtype=np.int64)
+        for c in range(4):
+            bits = blocks == np.uint8(c)                      # [nb, 32]
+            # packbits is MSB-first: byte0 bit7 = block position 0, so a
+            # big-endian uint32 view lands position 0 on bit 31 — the
+            # occ prefix-mask convention of ops/occ.py.
+            pb = np.packbits(bits, axis=1)                    # [nb, 4] u8
+            cp_mask[b0:b1, c] = pb.view(">u4")[:, 0]
+            per_block[:, c] = bits.sum(axis=1)
+        cp_count[b0] = running
+        np.cumsum(per_block[:-1], axis=0, out=cp_count[b0 + 1:b1])
+        cp_count[b0 + 1:b1] += running
+        running = running + per_block.sum(axis=0)
     return cp_count, cp_mask
 
 
@@ -105,6 +143,8 @@ def build_index(bns: BntSeq, sa_compx: int = DEFAULT_SA_COMPX) -> FMIndex:
     text = bns.full_text()
     sa = suffix_array(text)
     bwt, sentinel_index = bwt_from_sa(text, sa)
+    sa_samples = sa[:: 1 << sa_compx].astype(np.int64)
+    del sa  # hg38-class SA is ~50 GB; release before cp_occ build
 
     # Cumulative base counts, sentinel included as rank 0
     # (matches the reference's count[]+1 after load, FMI_search.cpp:1304-1308).
@@ -114,8 +154,7 @@ def build_index(bns: BntSeq, sa_compx: int = DEFAULT_SA_COMPX) -> FMIndex:
     count += 1
 
     cp_count, cp_mask = build_cp_occ(bwt)
-
-    sa_samples = sa[:: 1 << sa_compx].astype(np.int64)
+    del bwt
 
     return FMIndex(
         seq_len=len(text) + 1,

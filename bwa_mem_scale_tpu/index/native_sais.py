@@ -35,6 +35,10 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64, ctypes.c_int64]
     lib.sais_u8.restype = ctypes.c_int
+    lib.bwt_from_sa_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint8]
+    lib.bwt_from_sa_u8.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -45,15 +49,37 @@ def suffix_array(text: np.ndarray) -> np.ndarray:
     lib = _load()
     text = np.ascontiguousarray(text, dtype=np.uint8)
     n = len(text)
+    # Single allocation: the native call writes the body directly into
+    # sa[1:] (at genome scale a separate body buffer would double a
+    # ~50 GB allocation).
     sa = np.empty(n + 1, dtype=np.int64)
     sa[0] = n
     if n:
-        body = np.empty(n, dtype=np.int64)
+        body_ptr = ctypes.cast(
+            sa.ctypes.data + np.dtype(np.int64).itemsize,
+            ctypes.POINTER(ctypes.c_int64))
         rc = lib.sais_u8(
             text.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            body.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            body_ptr,
             ctypes.c_int64(n), ctypes.c_int64(int(text.max()) + 1))
         if rc != 0:
             raise RuntimeError(f"sais_u8 failed: {rc}")
-        sa[1:] = body
     return sa
+
+
+def bwt_from_sa(text: np.ndarray, sa: np.ndarray):
+    """Native BWT extraction with prefetch; same contract as
+    build.bwt_from_sa. Returns (bwt uint8 [len(sa)], sentinel_index)."""
+    lib = _load()
+    text = np.ascontiguousarray(text, dtype=np.uint8)
+    sa = np.ascontiguousarray(sa, dtype=np.int64)
+    out = np.empty(len(sa), dtype=np.uint8)
+    sentinel = lib.bwt_from_sa_u8(
+        text.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(sa)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_uint8(4))
+    if sentinel < 0:
+        raise RuntimeError("bwt_from_sa_u8: no sentinel row found")
+    return out, int(sentinel)

