@@ -69,10 +69,14 @@ def expand_and_lookup(fmi: DeviceFMIndex, smems: SmemBuf, max_occ: int,
     """Sample each SMEM interval and resolve coordinates.
 
     Returns (rbeg [B, C], seed_smem [B, C] (index into smems arrays),
-    coord_valid [B, C], total [B]) where C = max_coords. Within a read,
-    coordinates appear in SMEM order then interval order — the same
-    order the reference feeds seeds into chaining
-    (mem_chain_seeds, src/bwamem.cpp:862-895).
+    coord_valid [B, C], total [B], overflow [B]) where C = max_coords.
+    Within a read, coordinates appear in SMEM order then interval order
+    — the same order the reference feeds seeds into chaining
+    (mem_chain_seeds, src/bwamem.cpp:862-895). `overflow` marks reads
+    whose sampled coordinates exceeded the max_coords capacity (the
+    reference's heap-backed seed vector never drops seeds,
+    src/bwamem.cpp:789-895 — overflowed reads must be retried at a
+    larger shape).
     """
     B, M = smems.m.shape
     valid = jnp.arange(M)[None, :] < smems.cnt[:, None]
@@ -85,6 +89,7 @@ def expand_and_lookup(fmi: DeviceFMIndex, smems: SmemBuf, max_occ: int,
                     jnp.minimum(s, max_occ))
     n_i = jnp.where(valid, n_i, 0).astype(jnp.int32)
     csum = jnp.cumsum(n_i, axis=1)
+    overflow = csum[:, -1] > max_coords
     total = jnp.minimum(csum[:, -1], max_coords)
     starts = csum - n_i                          # [B, M]
 
@@ -109,4 +114,4 @@ def expand_and_lookup(fmi: DeviceFMIndex, smems: SmemBuf, max_occ: int,
     pos = (smems.k[bidx, seed_idx]
            + within.astype(s.dtype) * step[bidx, seed_idx])
     rbeg = sa_lookup(fmi, pos, coord_valid)
-    return rbeg, seed_idx, coord_valid, total
+    return rbeg, seed_idx, coord_valid, total, overflow

@@ -108,8 +108,11 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
             min_seed_len=opt.min_seed_len, split_len=opt.split_len,
             split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
             max_out=cfg.max_smem_out or L, fma=fma)
-    rbeg, seed_idx, coord_valid, total = expand_and_lookup(
+    rbeg, seed_idx, coord_valid, total, coord_of = expand_and_lookup(
         fmi, bufs, opt.max_occ, cfg.max_coords)
+    # SMEM buffer at capacity: treat as (possible) overflow so the
+    # read is retried at a larger shape rather than silently truncated.
+    smem_of = bufs.cnt >= bufs.m.shape[1]
     ch = chain_seeds_device(
         dbns, bufs, rbeg, seed_idx, coord_valid,
         w=opt.w, max_chain_gap=opt.max_chain_gap,
@@ -221,6 +224,12 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
     flatv = sel_valid.reshape(B * R)
     pidx, p_valid = compact_indices(flatv, PX)
     pair_overflow = flatv.sum() > PX
+    # per-read: did compaction drop any of THIS read's candidates?
+    # (compact_indices keeps the first PX in read-major order, so only
+    # tail reads lose pairs)
+    pair_rank = jnp.cumsum(flatv.astype(jnp.int32)) - 1
+    pair_dropped = flatv & (pair_rank >= PX)
+    read_pair_of = jnp.any(pair_dropped.reshape(B, R), axis=1)
     p_read = pidx // R
 
     def topair(x):
@@ -348,11 +357,23 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
          i32(rb & 0x7FFFFFFF), i32(rb >> 31),
          i32(re_f & 0x7FFFFFFF), i32(re_f >> 31)], axis=1)
 
+    # Any capacity that silently truncated this read's work: the
+    # reference never drops alignments (heap-backed mem_alnreg_v,
+    # src/bwamem.cpp:789-1050), so flagged reads are re-run by the
+    # host at a larger shape (TpuAligner._retry_overflow_regs).
+    read_overflow = (smem_of | coord_of | ch.overflow
+                     | reg_overflow | read_pair_of)
+    # one [B, 2] fetch carries both per-read host fields (each extra
+    # device->host fetch is a tunnel round trip)
+    meta = jnp.stack(
+        [frac_rep.astype(jnp.float32),
+         read_overflow.astype(jnp.float32)], axis=1)
+
     return dict(
         valid=p_valid, read=p_read, qb=qb, qe=qe_f, rb=rb, re=re_f,
         score=score_f, truesc=truesc, w=a_w, seedcov=seedcov,
         rid=p_rid, seedlen0=p_len, frac_rep=frac_rep,
-        packed=packed,
+        packed=packed, meta=meta, read_overflow=read_overflow,
         smem_cnt=bufs.cnt, coord_total=total,
         chain_overflow=ch.overflow, reg_overflow=reg_overflow,
         pair_overflow=pair_overflow,
@@ -427,19 +448,27 @@ class TpuAligner:
                                jnp.asarray(codes, dtype=jnp.int32),
                                jnp.asarray(lens, dtype=jnp.int32), L=L,
                                fma=self.dfma, ert=self.dert)
-        return self._regs_from_device(out, codes)
+        all_regs, overflow = self._regs_from_device(out, codes)
+        return self._apply_overflow_retry(all_regs, overflow, codes,
+                                          lens)
 
     def _regs_from_device(self, out, codes: np.ndarray,
                           prefetched=None):
+        """Returns (all_regs, overflow) — overflow[i] marks reads whose
+        device results were truncated by a fixed-shape capacity and
+        must be recomputed (consumed by _apply_overflow_retry)."""
         # Two fetches total (see the `packed` comment in
-        # seed_chain_extend): the per-pair matrix and frac_rep —
-        # already local when a prefetch thread ran.
+        # seed_chain_extend): the per-pair matrix and the [B, 2]
+        # meta (frac_rep, overflow) — already local when a prefetch
+        # thread ran.
         if prefetched is not None:
             pk = prefetched["packed"]
-            frac_rep = prefetched["frac_rep"]
+            meta = prefetched["meta"]
         else:
             pk = np.asarray(out["packed"])
-            frac_rep = np.asarray(out["frac_rep"])
+            meta = np.asarray(out["meta"])
+        frac_rep = meta[:, 0]
+        overflow = meta[:, 1] > 0.5
         is_alt = self.idx.bns.is_alt
         B = codes.shape[0]
 
@@ -467,6 +496,82 @@ class TpuAligner:
             )
             if a.qe > a.qb:
                 all_regs[i].append(a)
+        return all_regs, overflow
+
+    # ------------------------------------------------------------------
+    # Overflow retry: reads whose device results were truncated by a
+    # fixed-shape capacity are re-run at a larger shape (a second jit
+    # bucket, batch RETRY_BATCH), and — should even that overflow — by
+    # the NumPy oracle. The reference never drops alignment work
+    # (heap-backed vectors, src/bwamem.cpp:789-1050); this is the
+    # fixed-shape equivalent of that guarantee.
+    # ------------------------------------------------------------------
+    RETRY_BATCH = 16
+
+    def _retry_jit(self):
+        if getattr(self, "_retry_fn", None) is None:
+            c = self.cfg
+            cfg_big = PipelineConfig(
+                max_smem_out=4 * (c.max_smem_out or 128),
+                max_coords=max(4096, 4 * c.max_coords),
+                max_chains=max(256, 4 * c.max_chains),
+                max_seeds_per_chain=max(64, 2 * c.max_seeds_per_chain),
+                max_regs=max(512, 4 * c.max_regs),
+                max_pairs=0,    # set below: full B*R, no pair drops
+                target_pad=c.target_pad,
+                seed_engine=c.seed_engine)
+            cfg_big.max_pairs = self.RETRY_BATCH * cfg_big.max_regs
+            self._retry_cfg = cfg_big
+            self._retry_fn = jax.jit(
+                partial(seed_chain_extend, opt=self.opt, cfg=cfg_big),
+                static_argnames=("L",))
+        return self._retry_fn
+
+    def _oracle_raw_regs(self, query: np.ndarray):
+        """Raw (pre-dedup) AlnRegs for one read via the NumPy oracle —
+        the unbounded-capacity fallback of last resort."""
+        from ..ref.fm import FMOracle
+        from ..ref import chain as chain_mod
+        from ..ref.extend import chain2aln
+        if not hasattr(self, "_fm_oracle"):
+            self._fm_oracle = FMOracle(self.idx)
+        opt, bns = self.opt, self.idx.bns
+        smems = self._fm_oracle.collect_smems(query, 0, opt)
+        chains = chain_mod.chain_seeds(self._fm_oracle, opt, bns,
+                                       query, 0, smems)
+        chains = chain_mod.chain_flt(opt, chains)
+        return chain2aln(opt, bns, self.idx.ref_string, query, chains)
+
+    def _apply_overflow_retry(self, all_regs, overflow, codes, lens):
+        """Replace truncated reads' regs with full-capacity reruns."""
+        idxs = [int(i) for i in np.flatnonzero(overflow)
+                if int(lens[i]) > 0]
+        if not idxs:
+            return all_regs
+        self.overflow_retried = getattr(self, "overflow_retried", 0) \
+            + len(idxs)
+        fn = self._retry_jit()
+        L = int(codes.shape[1])
+        RB = self.RETRY_BATCH
+        for base in range(0, len(idxs), RB):
+            grp = idxs[base: base + RB]
+            gc = np.full((RB, L), 4, dtype=np.int32)
+            gl = np.zeros(RB, dtype=np.int32)
+            for j, i in enumerate(grp):
+                gc[j] = codes[i]
+                gl[j] = lens[i]
+            out = fn(self.fmi, self.dbns, jnp.asarray(gc),
+                     jnp.asarray(gl), L=L, fma=self.dfma,
+                     ert=self.dert)
+            regs2, of2 = self._regs_from_device(out, gc)
+            for j, i in enumerate(grp):
+                if of2[j]:   # still truncated: oracle (never drops)
+                    self.overflow_oracle = getattr(
+                        self, "overflow_oracle", 0) + 1
+                    all_regs[i] = self._oracle_raw_regs(
+                        codes[i, : lens[i]].astype(np.uint8))
+                else:
+                    all_regs[i] = regs2[j]
         return all_regs
 
     def dispatch_batch(self, codes: np.ndarray, lens: np.ndarray,
@@ -519,7 +624,7 @@ class TpuAligner:
         def work():
             try:
                 slot["packed"] = np.asarray(out["packed"])
-                slot["frac_rep"] = np.asarray(out["frac_rep"])
+                slot["meta"] = np.asarray(out["meta"])
                 if pm_stacked is not None:
                     slot["pm_cs"] = np.asarray(pm_stacked)
             except Exception as e:      # surfaced at join time
@@ -583,8 +688,12 @@ class TpuAligner:
                     loc0=int(pm_loc[i]))
 
         with PROFILER.phase("fetch_regs"):
-            all_regs = self._regs_from_device(out, codes,
-                                              prefetched=pf)
+            all_regs, overflow = self._regs_from_device(out, codes,
+                                                        prefetched=pf)
+        if overflow.any():
+            with PROFILER.phase("overflow_retry"):
+                all_regs = self._apply_overflow_retry(
+                    all_regs, overflow, codes, lens)
         queries = []
         finalized = []
         with PROFILER.phase("dedup_primary"):
@@ -662,8 +771,12 @@ class TpuAligner:
         out = handle[3]
         from ..utils.profiling import PROFILER
         with PROFILER.phase("fetch_regs"):
-            all_regs = self._regs_from_device(out, codes,
-                                              prefetched=pf)
+            all_regs, overflow = self._regs_from_device(out, codes,
+                                                        prefetched=pf)
+        if overflow.any():
+            with PROFILER.phase("overflow_retry"):
+                all_regs = self._apply_overflow_retry(
+                    all_regs, overflow, codes, lens)
         return (codes, lens, pm_regs, all_regs)
 
     def pe_post(self, fetched, id_offset: int = 0):

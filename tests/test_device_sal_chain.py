@@ -58,7 +58,7 @@ def test_chain_device_matches_oracle(small_index, dev_index, dev_bns):
     codes_list = [c for c, _, _ in reads]
     bufs, lens = _device_smems(dev_index, opt, codes_list)
 
-    rbeg, seed_idx, coord_valid, total = expand_and_lookup(
+    rbeg, seed_idx, coord_valid, total, _of = expand_and_lookup(
         dev_index, bufs, opt.max_occ, max_coords=256)
     ch = chain_seeds_device(dev_bns, bufs, rbeg, seed_idx, coord_valid,
                             w=opt.w, max_chain_gap=opt.max_chain_gap,
@@ -100,7 +100,7 @@ def test_chain_filter_device_matches_oracle(small_index, dev_index, dev_bns):
     reads = sample_reads(small_index.bns, 12, 120, seed=13, err_rate=0.04)
     codes_list = [c for c, _, _ in reads]
     bufs, lens = _device_smems(dev_index, opt, codes_list)
-    rbeg, seed_idx, coord_valid, total = expand_and_lookup(
+    rbeg, seed_idx, coord_valid, total, _of = expand_and_lookup(
         dev_index, bufs, opt.max_occ, max_coords=256)
     ch = chain_seeds_device(dev_bns, bufs, rbeg, seed_idx, coord_valid,
                             w=opt.w, max_chain_gap=opt.max_chain_gap,

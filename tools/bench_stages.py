@@ -56,14 +56,14 @@ def main():
     @jax.jit
     def s2(f, c, l):
         bufs = collect_smems_rl(f, c, l, **kw)
-        rbeg, seed_idx, cv, total = expand_and_lookup(
+        rbeg, seed_idx, cv, total, _of = expand_and_lookup(
             f, bufs, opt.max_occ, cfg.max_coords)
         return rbeg.sum() + total.sum()
 
     @jax.jit
     def s3(f, d, c, l):
         bufs = collect_smems_rl(f, c, l, **kw)
-        rbeg, seed_idx, cv, total = expand_and_lookup(
+        rbeg, seed_idx, cv, total, _of = expand_and_lookup(
             f, bufs, opt.max_occ, cfg.max_coords)
         ch = chain_seeds_device(
             d, bufs, rbeg, seed_idx, cv, w=opt.w,
