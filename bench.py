@@ -36,6 +36,13 @@ FMA_K = int(os.environ.get("BENCH_FMA_K", 11))
 # readlane: read-per-lane SMEM machine — 2x the position-parallel
 # sweep on this chip (see ops/smem_rl.py)
 SEED_ENGINE = os.environ.get("BENCH_SEED_ENGINE", "readlane")
+# Prebuilt genome-scale index (BASELINE configs 2+): point
+# BENCH_INDEX_PREFIX at e.g. data/chr21s or data/hg38s to bench that
+# genome instead of the synthetic E. coli default. EMF/FMA tables are
+# used only if present next to the index (building them at bench time
+# would dominate the run at these scales).
+INDEX_PREFIX = os.environ.get("BENCH_INDEX_PREFIX")
+BENCH_TAG = os.environ.get("BENCH_TAG")   # metric-name override
 
 CACHE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
@@ -55,6 +62,26 @@ def get_aligner():
     from bwa_mem_scale_tpu.index.perfect import (build_perfect_table,
                                                  save_perfect_table,
                                                  load_perfect_table)
+
+    if INDEX_PREFIX:
+        t0 = time.time()
+        idx = load_index(INDEX_PREFIX)
+        print(f"* loaded {INDEX_PREFIX} "
+              f"(l_pac={idx.bns.l_pac:,}, "
+              f"pos_dtype={'int32' if idx.pos_fits_int32 else 'int64'}"
+              f") in {time.time() - t0:.1f}s", file=sys.stderr)
+        fma_path = f"{INDEX_PREFIX}.fma{FMA_K}.npz"
+        fma = load_fma(fma_path) if os.path.exists(fma_path) else None
+        emf_path = f"{INDEX_PREFIX}.emf{READ_LEN}.npz"
+        emf = (load_perfect_table(emf_path)
+               if os.path.exists(emf_path) else None)
+        cfg = PipelineConfig(max_coords=256, max_chains=32,
+                             max_seeds_per_chain=16, max_regs=32,
+                             max_pairs=4 * BATCH,
+                             seed_engine=SEED_ENGINE)
+        return TpuAligner(idx, MemOptions(), cfg,
+                          fma=None if SEED_ENGINE == "readlane" else fma,
+                          emf=emf)
 
     prefix = CACHE[: -len(".tpuidx.npz")]
     if os.path.exists(CACHE):
@@ -162,10 +189,16 @@ def main():
         print(f"* EMF hits: {aligner.emf_hits}/{aligner.emf_checked}",
               file=sys.stderr)
 
-    metric = ("se_reads_per_sec_chip_ecoli101"
-              if GENOME_BP == 4_600_000 and READ_LEN == 101 else
-              f"se_reads_per_sec_chip_{GENOME_BP // 1_000_000}"
-              f"mbp_{READ_LEN}bp")
+    if BENCH_TAG:
+        metric = f"se_reads_per_sec_chip_{BENCH_TAG}"
+    elif INDEX_PREFIX:
+        base = os.path.basename(INDEX_PREFIX).split(".")[0]
+        metric = f"se_reads_per_sec_chip_{base}_{READ_LEN}bp"
+    else:
+        metric = ("se_reads_per_sec_chip_ecoli101"
+                  if GENOME_BP == 4_600_000 and READ_LEN == 101 else
+                  f"se_reads_per_sec_chip_{GENOME_BP // 1_000_000}"
+                  f"mbp_{READ_LEN}bp")
     print(json.dumps({
         "metric": metric,
         "value": round(rps, 1),

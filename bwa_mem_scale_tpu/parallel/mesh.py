@@ -82,6 +82,20 @@ def sharded_align_fn(mesh: Mesh, opt: MemOptions, cfg: PipelineConfig,
     return jax.jit(fn)
 
 
+def sharded_emf_fn(mesh: Mesh, axis: str = "dp"):
+    """Read-sharded EMF probe (ops/emf.emf_lookup): the perfect-match
+    table and reference replicated per chip, reads split over the
+    mesh. Every output of emf_lookup is per-read [B]-shaped, so
+    out_specs is a plain shard axis."""
+    from ..ops.emf import emf_lookup
+    fn = jax.shard_map(
+        emf_lookup, mesh=mesh,
+        in_specs=(P(), P(), P(axis, None), P(axis)),
+        out_specs=P(axis),
+        check_vma=False)
+    return jax.jit(fn)
+
+
 def pad_to_multiple(codes: np.ndarray, lens: np.ndarray, mult: int):
     """Pad the read batch so it divides evenly over the mesh. Padding
     reads have length 0 and produce no valid regions."""

@@ -14,11 +14,11 @@ mem_kernel2_core / worker_sam, src/bwamem.cpp:1209-1850) with the
 irregular finalization work on host, exactly where the reference also
 leaves the string-ish work.
 
-Note: mem_flt_chained_seeds (per-seed SW validation) is a no-op for
-reads shorter than ~700 bp with default scoring — the reference skips
+mem_flt_chained_seeds (per-seed SW validation) only activates for
+reads longer than ~666 bp with default scoring — the reference skips
 it whenever min_l > MEM_SEEDSW_COEF * l_query (src/bwamem.cpp:500-506).
-This pipeline asserts that regime rather than implementing the
-long-read branch.
+Long-L jit buckets trace the device implementation (ops/seedsw.py);
+short-read buckets never pay for it.
 """
 
 from __future__ import annotations
@@ -128,15 +128,30 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
     C = cfg.max_chains
     S = cfg.max_seeds_per_chain
     R = cfg.max_regs
+    sidx = jnp.arange(S, dtype=jnp.int32)[None, None, :]
+
+    # ---- long-read regime: SW-validate chain seeds on device ----
+    # mem_flt_chained_seeds (src/bwamem.cpp:494-526). Inactive (and
+    # untraced) for short-read buckets: the stage only exists when a
+    # read of length L could trigger it.
+    from ..config import needs_seed_sw_filter
+    if needs_seed_sw_filter(opt, L):
+        from ..ops.seedsw import seed_sw_filter
+        seed_live, seed_score_eff, sw_of = seed_sw_filter(
+            fmi, dbns, codes, lens, ch, order, kept, opt,
+            max_sw=cfg.max_pairs)
+    else:
+        seed_live = sidx < ch.n_seeds[:, :, None]      # [B, C, S] slot
+        seed_score_eff = ch.seed_score
+        sw_of = jnp.zeros((B,), dtype=bool)
 
     # ---- enumerate (chain, seed) candidates in processing order ----
     kept_chain = kept > 0                              # [B, C] sorted pos
     chain_rank = jnp.cumsum(kept_chain.astype(jnp.int32), axis=1) - 1
     slot_by_pos = order                                # [B, C]
-    ns_by_pos = ch.n_seeds[bidx[:, None], slot_by_pos] # [B, C]
-    score_by_pos = ch.seed_score[bidx[:, None], slot_by_pos]  # [B, C, S]
-    sidx = jnp.arange(S, dtype=jnp.int32)[None, None, :]
-    svalid = (sidx < ns_by_pos[:, :, None]) & kept_chain[:, :, None]
+    live_by_pos = seed_live[bidx[:, None], slot_by_pos]  # [B, C, S]
+    score_by_pos = seed_score_eff[bidx[:, None], slot_by_pos]
+    svalid = live_by_pos & kept_chain[:, :, None]
     # seeds processed best-score-first, ties by larger index.
     # int32 key (scores < 2^15 for any supported read length; int64
     # sorts are emulated on TPU)
@@ -179,7 +194,7 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
     cs_qbeg = ch.seed_qbeg.astype(jnp.int64)
     cs_len = ch.seed_len.astype(jnp.int64)
     cs_rbeg = ch.seed_rbeg.astype(jnp.int64)
-    cs_valid = jnp.arange(S)[None, None, :] < ch.n_seeds[:, :, None]
+    cs_valid = seed_live
     l_query = lens.astype(jnp.int64)[:, None, None]
     gap_l = _cal_max_gap(cs_qbeg, a_, opt.o_del, opt.e_del,
                          opt.o_ins, opt.e_ins, w_)
@@ -193,7 +208,11 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
     rmax1 = jnp.max(jnp.where(cs_valid, e_cand, 0), axis=2)
     rmax0 = jnp.maximum(rmax0, 0)
     rmax1 = jnp.minimum(rmax1, l_pac2)
-    first_rbeg = cs_rbeg[:, :, 0]
+    # first LIVE seed (post seed-SW filter; argmax finds the first
+    # True, and slot 0 — the pre-filter behavior — when none live)
+    first_i = jnp.argmax(seed_live, axis=2)
+    first_rbeg = jnp.take_along_axis(
+        cs_rbeg, first_i[:, :, None], axis=2)[:, :, 0]
     bridging = (rmax0 < dbns.l_pac) & (dbns.l_pac < rmax1)
     rmax1 = jnp.where(bridging & (first_rbeg < dbns.l_pac),
                       dbns.l_pac, rmax1)
@@ -336,7 +355,7 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
     ch_q = ch.seed_qbeg[p_read, p_slot]                # [PX, S]
     ch_r = ch.seed_rbeg[p_read, p_slot].astype(jnp.int64)
     ch_l = ch.seed_len[p_read, p_slot]
-    ch_v = jnp.arange(S)[None, :] < ch.n_seeds[p_read, p_slot][:, None]
+    ch_v = seed_live[p_read, p_slot]
     inside = (ch_v
               & (ch_q >= qb[:, None])
               & (ch_q + ch_l <= qe_f[:, None])
@@ -362,7 +381,7 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
     # src/bwamem.cpp:789-1050), so flagged reads are re-run by the
     # host at a larger shape (TpuAligner._retry_overflow_regs).
     read_overflow = (smem_of | coord_of | ch.overflow
-                     | reg_overflow | read_pair_of)
+                     | reg_overflow | read_pair_of | sw_of)
     # one [B, 2] fetch carries both per-read host fields (each extra
     # device->host fetch is a tunnel round trip)
     meta = jnp.stack(
@@ -386,8 +405,9 @@ class TpuAligner:
 
     def __init__(self, idx: FMIndex, opt: Optional[MemOptions] = None,
                  cfg: Optional[PipelineConfig] = None, fma=None,
-                 emf=None, ert=None):
+                 emf=None, ert=None, mesh=None):
         self.idx = idx
+        self.mesh = mesh            # jax.sharding.Mesh or None
         self.opt = opt or MemOptions()
         self.cfg = cfg or PipelineConfig()
         self.fmi = DeviceFMIndex.from_host(idx)
@@ -406,19 +426,84 @@ class TpuAligner:
         self.demf = None
         self.emf_hits = 0   # pprof-style outcome counter (bwamem.cpp:54)
         self.emf_checked = 0
+        # full outcome histogram keyed by FIND_PERFECT_* code — the
+        # pprof/pprof2 analogue (src/bwamem.cpp:54-56, report
+        # display_stats src/profiling.cpp:87)
+        import collections
+        self.emf_hist = collections.Counter()
         self.pes = None     # fixed insert-size override (-I)
         if emf is not None:
             from ..ops.emf import DeviceEmf, emf_lookup
             self.demf = DeviceEmf.from_host(emf)
-            self._jit_emf = jax.jit(emf_lookup)
+            if mesh is not None:
+                from ..parallel.mesh import sharded_emf_fn
+                self._jit_emf = sharded_emf_fn(mesh)
+            else:
+                self._jit_emf = jax.jit(emf_lookup)
         # fma is a jit argument, not a closure capture: captured arrays
         # become jaxpr constants and get shipped with every compile
         # request (oversized for GB-scale ladder tables).
-        self._jit_extend = jax.jit(
-            partial(seed_chain_extend, opt=self.opt, cfg=self.cfg),
-            static_argnames=("L",))
+        if mesh is not None:
+            # Multi-device: every device stage of the per-batch
+            # pipeline (EMF probe above, seed-chain-extend here) runs
+            # read-sharded over the mesh with the index replicated per
+            # chip (SURVEY.md section 5.8); the host stages are
+            # shard-oblivious because pair rows carry global read ids.
+            self._extend_sharded = {}
+
+            def _mesh_extend(fmi, dbns, codes, lens, *, L, fma=None,
+                             ert=None):
+                if codes.shape[0] % mesh.size:
+                    raise ValueError(
+                        f"batch {codes.shape[0]} not divisible by "
+                        f"mesh size {mesh.size}")
+                key = (L, fma is not None, ert is not None)
+                fn = self._extend_sharded.get(key)
+                if fn is None:
+                    from ..parallel.mesh import sharded_align_fn
+                    fn = sharded_align_fn(
+                        mesh, self.opt, self.cfg, L,
+                        with_fma=fma is not None,
+                        with_ert=ert is not None)
+                    self._extend_sharded[key] = fn
+                extra = [x for x in (fma, ert) if x is not None]
+                return fn(fmi, dbns, codes, lens, *extra)
+
+            self._jit_extend = _mesh_extend
+        else:
+            self._jit_extend = jax.jit(
+                partial(seed_chain_extend, opt=self.opt, cfg=self.cfg),
+                static_argnames=("L",))
         self._jit_kswg = jax.jit(
             kswg.ksw_global_batch, static_argnames=())
+
+    EMF_CODE_NAMES = ("no_table", "with_n", "not_matched",
+                      "fw_matched", "rc_matched")
+
+    def _emf_count(self, code_arr):
+        """Accumulate the per-outcome histogram (pprof analogue)."""
+        c = np.bincount(np.asarray(code_arr, dtype=np.int64).ravel(),
+                        minlength=5)
+        for name, n in zip(self.EMF_CODE_NAMES, c[:5]):
+            if n:
+                self.emf_hist[name] += int(n)
+
+    def emf_report(self, file=sys.stderr):
+        """EMF outcome histogram + overflow-retry counters, printed
+        after display_stats the way the reference prints pprof."""
+        if self.emf_hist:
+            total = sum(self.emf_hist.values())
+            print("EMF outcomes:", file=file)
+            for name in self.EMF_CODE_NAMES:
+                n = self.emf_hist.get(name, 0)
+                if n:
+                    print(f"  {name:<12} {n:>10}  "
+                          f"({100.0 * n / total:5.1f}%)", file=file)
+        nr = getattr(self, "overflow_retried", 0)
+        if nr:
+            print(f"overflow retries: {nr} reads "
+                  f"({getattr(self, 'overflow_oracle', 0)} to oracle)",
+                  file=file)
 
     def emf_filter(self, codes: np.ndarray, lens: np.ndarray):
         """Perfect-match prefilter (mem_kernel1_core's EMF pass,
@@ -433,17 +518,10 @@ class TpuAligner:
     # ------------------------------------------------------------------
     # Host finalization
     # ------------------------------------------------------------------
-    # ------------------------------------------------------------------
-    # Host finalization
-    # ------------------------------------------------------------------
     def align_batch(self, codes: np.ndarray, lens: np.ndarray):
         """codes [B, L] int (nt4), lens [B]. Returns per-read raw
         AlnReg lists."""
         L = int(codes.shape[1])
-        from ..config import needs_seed_sw_filter
-        assert not needs_seed_sw_filter(self.opt, int(lens.max())), \
-            "long-read regime reads must go through the oracle path " \
-            "(the driver routes them; see config.needs_seed_sw_filter)"
         out = self._jit_extend(self.fmi, self.dbns,
                                jnp.asarray(codes, dtype=jnp.int32),
                                jnp.asarray(lens, dtype=jnp.int32), L=L,
@@ -478,9 +556,11 @@ class TpuAligner:
         re_a = (re_hi.astype(np.int64) << 31) | re_lo
 
         all_regs: List[List[AlnReg]] = [[] for _ in range(B)]
-        # Pairs come back compacted in (read, processing-rank) order.
-        n_valid = int(valid.sum())
-        for j in range(n_valid):
+        # Pairs come back compacted in (read, processing-rank) order
+        # within each device shard; shards concatenate in read order
+        # too, so scanning the valid rows preserves per-read rank.
+        for j in np.flatnonzero(valid):
+            j = int(j)
             i = int(read[j])
             a = AlnReg(
                 rb=int(rb_a[j]), re=int(re_a[j]),
@@ -540,6 +620,8 @@ class TpuAligner:
         chains = chain_mod.chain_seeds(self._fm_oracle, opt, bns,
                                        query, 0, smems)
         chains = chain_mod.chain_flt(opt, chains)
+        chain_mod.flt_chained_seeds(opt, bns, self.idx.ref_string,
+                                    query, chains)
         return chain2aln(opt, bns, self.idx.ref_string, query, chains)
 
     def _apply_overflow_retry(self, all_regs, overflow, codes, lens):
@@ -584,10 +666,12 @@ class TpuAligner:
         codes = np.ascontiguousarray(codes, dtype=np.int32)
         lens = np.ascontiguousarray(lens, dtype=np.int32)
         L = int(codes.shape[1])
-        from ..config import needs_seed_sw_filter
-        assert not needs_seed_sw_filter(self.opt, int(lens.max())), \
-            "long-read regime reads must go through the oracle path " \
-            "(the driver routes them; see config.needs_seed_sw_filter)"
+        if getattr(self, "stage_profile_pending", False):
+            # mem -v 4: one-shot incremental stage table on the first
+            # real batch (display_stats analogue)
+            self.stage_profile_pending = False
+            from .stageprof import device_stage_profile
+            device_stage_profile(self, codes, lens)
         pm_dev = None
         lens_dev = jnp.asarray(lens)
         codes_dev = jnp.asarray(codes)
@@ -680,6 +764,7 @@ class TpuAligner:
                      | (pm_code == RC_MATCHED))
             self.emf_checked += len(lens)
             self.emf_hits += int(is_pm.sum())
+            self._emf_count(pm_code)
             for i in np.flatnonzero(is_pm):
                 read = codes[i, : lens[i]].astype(np.uint8)
                 pm_records[int(i)] = perfect_sam_records(
@@ -751,6 +836,7 @@ class TpuAligner:
                      | (pm["code"] == RC_MATCHED))
             self.emf_checked += len(lens)
             self.emf_hits += int(is_pm.sum())
+            self._emf_count(pm["code"])
             if is_pm.any():
                 lens_eff = np.where(is_pm, 0, lens_eff).astype(np.int32)
                 for i in np.flatnonzero(is_pm):

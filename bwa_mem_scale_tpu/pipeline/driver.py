@@ -152,14 +152,6 @@ def run_alignment(aligner, fastq_paths: List[str], out,
         batch = item
         codes, lens = batch.padded_codes()
         if paired:
-            from ..config import needs_seed_sw_filter
-            if any(needs_seed_sw_filter(opt, len(r.seq))
-                   for r in batch.reads):
-                raise NotImplementedError(
-                    "paired-end long-read-regime input is not "
-                    "supported (the reference discourages long reads "
-                    "entirely, src/fastmap.cpp:1131); align long "
-                    "reads single-end")
             # Depth-1 execute queue: fetch the in-flight batch FIRST
             # (sync point), dispatch the next extend, then do the
             # host-side PE work under it (stream.py has the details).
@@ -180,33 +172,12 @@ def run_alignment(aligner, fastq_paths: List[str], out,
                 stream.next_emit = id_offset   # global ordinals
             for ri, read in enumerate(batch.reads):
                 reads_by_id[id_offset + ri] = read
-            # long-read-regime reads (mem_flt_chained_seeds active,
-            # src/bwamem.cpp:506) go through the oracle pipeline,
-            # which implements the seed-SW filter; everything else
-            # streams through the device path.
-            from ..config import needs_seed_sw_filter
-            long_mask = np.array(
-                [needs_seed_sw_filter(opt, int(l)) for l in lens],
-                dtype=bool)
-            if long_mask.any():
-                from ..ref.pipeline import align_read
-                from ..ref.fm import FMOracle
-                from ..ref.finalize import reg2sam_records
-                if not hasattr(aligner, "_fm_oracle"):
-                    aligner._fm_oracle = FMOracle(aligner.idx)
-                ref = aligner.idx.ref_string
-                with PROFILER.phase("oracle_long_reads"):
-                    for ri in np.flatnonzero(long_mask):
-                        ri = int(ri)
-                        qry = codes[ri, : lens[ri]].astype(np.uint8)
-                        regs = align_read(aligner._fm_oracle, opt,
-                                          qry, id_offset + ri)
-                        stream.post_result(
-                            id_offset + ri,
-                            reg2sam_records(opt, bns, ref, qry, regs))
+            # Long-read-regime reads (mem_flt_chained_seeds active,
+            # src/bwamem.cpp:506) run on the device path too: the
+            # seed-SW filter is traced into long-L jit buckets
+            # (ops/seedsw.py).
             with PROFILER.phase("align_batch"):
-                stream.feed(codes.astype(np.int32), lens, id_offset,
-                            skip=long_mask if long_mask.any() else None)
+                stream.feed(codes.astype(np.int32), lens, id_offset)
             emit_ready()
         n_reads += len(batch)
         id_offset += len(batch)

@@ -89,6 +89,7 @@ class SeStream:
                      | (pm["code"] == RC_MATCHED))
             self.al.emf_checked += n
             self.al.emf_hits += int(is_pm.sum())
+            self.al._emf_count(pm["code"])
             opt, bns = self.al.opt, self.al.idx.bns
             ref = self.al.idx.ref_string
             with PROFILER.phase("emf_records"):

@@ -51,3 +51,90 @@ def test_sharded_extend_matches_unsharded():
         aligner.fmi, aligner.dbns, codes, lens)
     want = _regions_by_read(np.asarray(ref["packed"]))
     assert got == want
+
+
+def _write_fastq(path, reads):
+    bases = "ACGT"
+    with open(path, "w") as f:
+        for name, s in reads:
+            txt = "".join(bases[min(int(c), 3)] for c in s)
+            f.write(f"@{name}\n{txt}\n+\n{'I' * len(s)}\n")
+
+
+def _sam_body(text):
+    return [ln for ln in text.splitlines() if not ln.startswith("@")]
+
+
+def test_mesh_mem_end_to_end_sam_equal(small_index):
+    """The CLI-level pipeline (EMF probe + extend + finalize + SE SAM)
+    must emit byte-identical SAM on 1 device and on an 8-device mesh
+    (VERDICT round-1 item 5)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import io
+    import tempfile, os
+    from bwa_mem_scale_tpu.pipeline.align import TpuAligner
+    from bwa_mem_scale_tpu.pipeline.driver import run_alignment
+    from bwa_mem_scale_tpu.index.perfect import build_perfect_table
+
+    opt = MemOptions()
+    cfg = PipelineConfig(max_coords=64, max_chains=8,
+                         max_seeds_per_chain=8, max_regs=8,
+                         max_pairs=256)
+    emf = build_perfect_table(small_index, seed_len=80)
+    g = small_index.bns.seq
+    rng = np.random.RandomState(5)
+    reads = []
+    for i in range(24):
+        p = rng.randint(0, len(g) - 80)
+        s = g[p: p + 80].astype(np.uint8).copy()
+        if i % 3 == 0:   # 1/3 with errors -> EMF misses
+            s[rng.rand(80) < 0.03] = rng.randint(0, 4)
+        reads.append((f"r{i}", s))
+
+    with tempfile.TemporaryDirectory() as d:
+        fq = os.path.join(d, "r.fq")
+        _write_fastq(fq, reads)
+        outs = []
+        for mesh in (None, make_mesh(8)):
+            al = TpuAligner(small_index, MemOptions(), cfg, emf=emf,
+                            mesh=mesh)
+            buf = io.StringIO()
+            n = run_alignment(al, [fq], buf, batch_reads=8)
+            assert n == len(reads)
+            outs.append(buf.getvalue())
+    assert _sam_body(outs[0]) == _sam_body(outs[1])
+    assert len(_sam_body(outs[0])) >= len(reads)
+
+
+def test_mesh_device_emf_probe_path(small_index):
+    """align_and_finalize (device EMF probe + extend, both sharded)
+    matches the unsharded aligner record-for-record."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from bwa_mem_scale_tpu.pipeline.align import TpuAligner
+    from bwa_mem_scale_tpu.index.perfect import build_perfect_table
+
+    cfg = PipelineConfig(max_coords=64, max_chains=8,
+                         max_seeds_per_chain=8, max_regs=8,
+                         max_pairs=256)
+    emf = build_perfect_table(small_index, seed_len=80)
+    g = small_index.bns.seq
+    rng = np.random.RandomState(9)
+    B, L = 16, 80
+    codes = np.full((B, L), 4, np.int32)
+    lens = np.full(B, L, np.int32)
+    for i in range(B):
+        p = rng.randint(0, len(g) - L)
+        s = g[p: p + L].astype(np.uint8).copy()
+        if i % 2:
+            s[rng.rand(L) < 0.03] = rng.randint(0, 4)
+        codes[i] = s
+    recs = []
+    for mesh in (None, make_mesh(8)):
+        al = TpuAligner(small_index, MemOptions(), cfg, emf=emf,
+                        mesh=mesh)
+        out = al.align_and_finalize(codes, lens)
+        recs.append([[(r.rid, r.pos, r.cigar, r.mapq, r.flag)
+                      for r in rr] for rr in out])
+    assert recs[0] == recs[1]
