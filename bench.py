@@ -36,6 +36,8 @@ FMA_K = int(os.environ.get("BENCH_FMA_K", 11))
 # readlane: read-per-lane SMEM machine — 2x the position-parallel
 # sweep on this chip (see ops/smem_rl.py)
 SEED_ENGINE = os.environ.get("BENCH_SEED_ENGINE", "readlane")
+# readlane worker lanes (backlog refill); 0/unset = one lane per read
+SEED_LANES = int(os.environ.get("BENCH_SEED_LANES", 0)) or None
 # Prebuilt genome-scale index (BASELINE configs 2+): point
 # BENCH_INDEX_PREFIX at e.g. data/chr21s or data/hg38s to bench that
 # genome instead of the synthetic E. coli default. EMF/FMA tables are
@@ -78,7 +80,8 @@ def get_aligner():
         cfg = PipelineConfig(max_coords=256, max_chains=32,
                              max_seeds_per_chain=16, max_regs=32,
                              max_pairs=4 * BATCH,
-                             seed_engine=SEED_ENGINE)
+                             seed_engine=SEED_ENGINE,
+                             seed_lanes=SEED_LANES)
         return TpuAligner(idx, MemOptions(), cfg,
                           fma=None if SEED_ENGINE == "readlane" else fma,
                           emf=emf)
@@ -117,7 +120,8 @@ def get_aligner():
 
     cfg = PipelineConfig(max_coords=256, max_chains=32,
                          max_seeds_per_chain=16, max_regs=32,
-                         max_pairs=4 * BATCH, seed_engine=SEED_ENGINE)
+                         max_pairs=4 * BATCH, seed_engine=SEED_ENGINE,
+                             seed_lanes=SEED_LANES)
     return TpuAligner(idx, MemOptions(), cfg,
                       fma=None if SEED_ENGINE == "readlane" else fma,
                       emf=emf)

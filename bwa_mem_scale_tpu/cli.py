@@ -470,11 +470,29 @@ def cmd_perfect_index(argv):
     p = argparse.ArgumentParser(prog="bwa-mem-scale-tpu perfect-index")
     p.add_argument("prefix")
     p.add_argument("-l", dest="seed_len", type=int, default=151)
+    p.add_argument("-g", dest="budget_gb", type=float, default=None,
+                   help="table memory budget in GB (MEMSCALE partial "
+                        "EMF: only the earliest-position seeds get "
+                        "entries; misses take the normal path)")
+    p.add_argument("--chunked", action="store_true",
+                   help="force the streaming chunked builder (auto "
+                        "for genomes over 256 Mbp or with -g)")
     args = p.parse_args(argv)
     from .index.artifacts import load_index
-    from .index.perfect import build_perfect_table, save_perfect_table
+    from .index.perfect import (build_perfect_table,
+                                build_perfect_table_chunked,
+                                save_perfect_table)
     idx = load_index(args.prefix)
-    table = build_perfect_table(idx, args.seed_len)
+    chunked = (args.chunked or args.budget_gb is not None
+               or idx.bns.l_pac > (256 << 20))
+    if chunked:
+        budget = (int(args.budget_gb * (1 << 30))
+                  if args.budget_gb else None)
+        table = build_perfect_table_chunked(
+            idx, args.seed_len, budget_bytes=budget,
+            log=lambda m: print(m, file=sys.stderr))
+    else:
+        table = build_perfect_table(idx, args.seed_len)
     path = save_perfect_table(table, args.prefix)
     print(f"* wrote {path}", file=sys.stderr)
     return 0

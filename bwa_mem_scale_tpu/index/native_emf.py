@@ -38,8 +38,58 @@ def _load():
         ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
     lib.emf_insert.restype = ctypes.c_int64
+    P8 = ctypes.POINTER(ctypes.c_uint8)
+    P32 = ctypes.POINTER(ctypes.c_int32)
+    Pu32 = ctypes.POINTER(ctypes.c_uint32)
+    P64 = ctypes.POINTER(ctypes.c_int64)
+    Pu64 = ctypes.POINTER(ctypes.c_uint64)
+    lib.emf_insert_chunk.argtypes = [
+        P8, ctypes.c_int32,
+        P64, P8,
+        Pu64, P64, P64, ctypes.c_int64, P64,
+        P64, P64,
+        P64, Pu32, P8, P32,
+        ctypes.c_int64, ctypes.c_int64, P64,
+        P64, P64, P8, ctypes.c_int64]
+    lib.emf_insert_chunk.restype = ctypes.c_int64
     _lib = lib
     return lib
+
+
+def insert_chunk(seq, S, positions, pos_fwless, grp_h, grp_rep,
+                 grp_cnt, grp_order, memb_idx, memb_off,
+                 loc, fp, fwl, cnt, budget_entries, state):
+    """Stream one chunk's groups into the persistent table arrays.
+    Returns (mlog_slot, mlog_pos, mlog_same) — members beyond each
+    entry's stored location."""
+    lib = _load()
+    P8 = ctypes.POINTER(ctypes.c_uint8)
+    P32 = ctypes.POINTER(ctypes.c_int32)
+    Pu32 = ctypes.POINTER(ctypes.c_uint32)
+    P64 = ctypes.POINTER(ctypes.c_int64)
+    Pu64 = ctypes.POINTER(ctypes.c_uint64)
+    c = lambda a, t: np.ascontiguousarray(a).ctypes.data_as(t)
+    n = len(positions)
+    mlog_slot = np.empty(n, dtype=np.int64)
+    mlog_pos = np.empty(n, dtype=np.int64)
+    mlog_same = np.empty(n, dtype=np.uint8)
+    n_log = lib.emf_insert_chunk(
+        c(seq, P8), S,
+        c(positions, P64), c(pos_fwless, P8),
+        c(grp_h, Pu64), c(grp_rep, P64),
+        c(grp_cnt, P64), len(grp_rep), c(grp_order, P64),
+        c(memb_idx, P64), c(memb_off, P64),
+        loc.ctypes.data_as(P64), fp.ctypes.data_as(Pu32),
+        fwl.ctypes.data_as(P8), cnt.ctypes.data_as(P32),
+        len(loc), budget_entries,
+        state.ctypes.data_as(P64),
+        mlog_slot.ctypes.data_as(P64), mlog_pos.ctypes.data_as(P64),
+        mlog_same.ctypes.data_as(P8), n)
+    if n_log < 0:
+        raise RuntimeError("emf merge log overflow")
+    n_log = int(n_log)
+    return (mlog_slot[:n_log].copy(), mlog_pos[:n_log].copy(),
+            mlog_same[:n_log].copy().astype(bool))
 
 
 def group_windows(seq: np.ndarray, positions: np.ndarray, S: int):

@@ -251,6 +251,130 @@ def build_perfect_table(idx, seed_len: int = DEFAULT_SEED_LEN,
                         ml_off=ml_off, ml_nfw=ml_nfw, ml_locs=ml_locs)
 
 
+def build_perfect_table_chunked(idx, seed_len: int = DEFAULT_SEED_LEN,
+                                slack: float = 1.6,
+                                chunk: int = 48 << 20,
+                                budget_bytes: Optional[int] = None,
+                                log=None) -> PerfectTable:
+    """Genome-scale EMF build: stream position chunks through the
+    native grouper + streaming table insert (native/emf.cpp
+    emf_insert_chunk), never materializing all windows at once — the
+    counterpart of the reference's producer/consumer builder
+    (src/perfect_index.cpp:1317-1437).
+
+    `budget_bytes` caps the table (the MEMSCALE partial-EMF analogue,
+    src/bwa_shm.cpp:1585-1770): when set, the slot count shrinks to
+    fit and only the earliest-genome-position seeds get entries;
+    later seeds miss the filter and take the normal seeding path
+    (output-identical, just less accelerated).
+
+    Bit-compatible with build_perfect_table's lookup contract (same
+    PerfectTable layout); slot assignment differs (position-order
+    chunked insertion vs hash-order one-shot) but lookups only rely
+    on the probe-until-empty invariant.
+    """
+    from . import native_emf
+
+    S = seed_len
+    bns = idx.bns
+    seq = np.ascontiguousarray(idx.ref_string[: bns.l_pac],
+                               dtype=np.uint8)
+    if bns.l_pac < S:
+        raise ValueError("genome shorter than seed_len")
+    say = log or (lambda *_: None)
+
+    npos = sum(max(a.length - S + 1, 0) for a in bns.anns)
+    cap = 1 << max(4, int(np.ceil(np.log2(max(npos, 1) * slack))))
+    if budget_bytes is not None:
+        # resident bytes/slot: loc 8 + fp 4 + cnt 4 + fwless 1 +
+        # mlidx 4 = 21
+        max_cap = max(1 << 10, int(budget_bytes) // 21)
+        while cap > max_cap:
+            cap >>= 1
+    budget_entries = int(cap / slack)
+    say(f"[emf] {npos:,} windows, cap 2^{int(np.log2(cap))} slots "
+        f"({21 * cap / 1e9:.1f} GB), budget {budget_entries:,} "
+        f"entries")
+
+    loc = np.full(cap, -1, dtype=np.int64)
+    fp = np.zeros(cap, dtype=np.uint32)
+    fwl = np.zeros(cap, dtype=np.uint8)
+    cnt = np.zeros(cap, dtype=np.int32)
+    state = np.zeros(2, dtype=np.int64)   # [n_entries, max_probe]
+    logs = []
+
+    # in-contig window starts, streamed per contig in position order
+    import time as _time
+    t0 = _time.time()
+    done = 0
+    for a in bns.anns:
+        if a.length < S:
+            continue
+        lo, hi = a.offset, a.offset + a.length - S + 1
+        for c0 in range(lo, hi, chunk):
+            c1 = min(c0 + chunk, hi)
+            pos = np.arange(c0, c1, dtype=np.int64)
+            (pos_fwless, h, gid, n_grp, rep,
+             gcnt) = native_emf.group_windows(seq, pos, S)
+            order = np.argsort(rep[:n_grp], kind="stable")
+            memb_idx = np.argsort(gid, kind="stable")
+            memb_off = np.zeros(n_grp + 1, dtype=np.int64)
+            memb_off[1:] = np.cumsum(gcnt[:n_grp])
+            grp_h = np.zeros(n_grp, dtype=np.uint64)
+            grp_h[gid] = h
+            mlog = native_emf.insert_chunk(
+                seq, S, pos, pos_fwless.astype(np.uint8), grp_h,
+                rep[:n_grp], gcnt[:n_grp], order.astype(np.int64),
+                memb_idx.astype(np.int64), memb_off,
+                loc, fp, fwl, cnt, budget_entries, state)
+            if len(mlog[0]):
+                logs.append(mlog)
+            done += c1 - c0
+            say(f"[emf] {done:,}/{npos:,} windows "
+                f"({done / max(_time.time() - t0, 1e-9) / 1e6:.1f} "
+                f"M/s), {state[0]:,} entries, maxprobe {state[1]}")
+
+    # ---- multi-location lists from the merge log ----
+    filled = loc >= 0
+    multi = filled & (cnt > 1)
+    slots_multi = np.flatnonzero(multi)
+    nml = len(slots_multi)
+    mlidx = np.full(cap, -1, dtype=np.int32)
+    mlidx[slots_multi] = np.arange(nml, dtype=np.int32)
+    if logs:
+        lg_slot = np.concatenate([x[0] for x in logs])
+        lg_pos = np.concatenate([x[1] for x in logs])
+        lg_same = np.concatenate([x[2] for x in logs])
+    else:
+        lg_slot = np.empty(0, np.int64)
+        lg_pos = np.empty(0, np.int64)
+        lg_same = np.empty(0, bool)
+    # add each multi entry's own stored location (same-orientation by
+    # construction) to its list
+    lg_slot = np.concatenate([lg_slot, slots_multi])
+    lg_pos = np.concatenate([lg_pos, loc[slots_multi]])
+    lg_same = np.concatenate([lg_same, np.ones(nml, bool)])
+    keep = multi[lg_slot]     # merge-log rows of single entries drop
+    lg_slot, lg_pos, lg_same = (lg_slot[keep], lg_pos[keep],
+                                lg_same[keep])
+    mg = mlidx[lg_slot].astype(np.int64)
+    o = np.lexsort((lg_pos, ~lg_same, mg))
+    ml_locs = lg_pos[o]
+    per = np.bincount(mg, minlength=nml).astype(np.int64)
+    ml_off = np.zeros(nml + 1, dtype=np.int64)
+    ml_off[1:] = np.cumsum(per)
+    ml_nfw = np.zeros(nml, dtype=np.int32)
+    np.add.at(ml_nfw, mg[lg_same], 1)
+
+    say(f"[emf] done: {state[0]:,} entries, {nml:,} multi, "
+        f"{len(ml_locs):,} listed locations, "
+        f"maxprobe {state[1]}, {(_time.time() - t0) / 60:.1f} min")
+    return PerfectTable(seed_len=S, l_pac=bns.l_pac,
+                        max_probe=int(max(state[1], 1)), loc=loc,
+                        fp=fp, fwless=fwl, cnt=cnt, mlidx=mlidx,
+                        ml_off=ml_off, ml_nfw=ml_nfw, ml_locs=ml_locs)
+
+
 def emf_lookup_host(pt: PerfectTable, ref: np.ndarray,
                     codes: np.ndarray, lens: np.ndarray):
     """NumPy twin of ops/emf.emf_lookup, used by the streaming driver

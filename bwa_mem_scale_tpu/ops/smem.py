@@ -65,6 +65,22 @@ class SmemBuf(NamedTuple):
             self.cnt + mask.astype(jnp.int32),
         )
 
+    def emit_rows(self, mask, rows, m, n, k, l, s):
+        """Masked append with an explicit target row per lane (the
+        lane-refill machines own one task/read per lane, so emitting
+        lanes always target distinct rows — no scatter collisions)."""
+        B, M = self.m.shape
+        r = jnp.where(mask, rows, B)           # OOB rows drop
+        idx = jnp.where(mask, self.cnt[jnp.clip(rows, 0, B - 1)], M)
+        return SmemBuf(
+            self.m.at[r, idx].set(m, mode="drop"),
+            self.n.at[r, idx].set(n, mode="drop"),
+            self.k.at[r, idx].set(k, mode="drop"),
+            self.l.at[r, idx].set(l, mode="drop"),
+            self.s.at[r, idx].set(s, mode="drop"),
+            self.cnt.at[r].add(mask.astype(jnp.int32), mode="drop"),
+        )
+
 
 def compact_indices(flat, T: int):
     """Indices of the first T set lanes of the bool vector `flat`, in

@@ -55,13 +55,30 @@ def _ext_all4(fmi, k, l, s, fwd):
 def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
                     t_mi, t_valid, chain_restarts: bool,
                     min_seed_len: int, max_out: int,
-                    out: SmemBuf, with_ticks: bool = False):
-    """Run getSMEMsOnePos for a batch of (read, x, min_intv) tasks.
+                    out: SmemBuf, with_ticks: bool = False,
+                    lanes: int = None, out_rows=None):
+    """Run getSMEMsOnePos for a backlog of (read, x, min_intv) tasks.
 
     chain_restarts=True makes each lane loop x -> next_x until the
     read end (pass 1); False runs a single position (pass 2).
-    Emissions land in per-READ slots of `out` (capacity max_out).
     with_ticks=True returns (buf, n_ticks) for perf diagnostics.
+
+    `lanes` (default: one lane per task) sets the worker-lane count:
+    with lanes < n_tasks, a lane that finishes its task pulls the next
+    unassigned one from the backlog — the TPU equivalent of kt_for's
+    dynamic scheduling (src/kthread.cpp:41-77). Lockstep machines
+    otherwise pay the slowest lane's tick count for the whole batch
+    (measured p50 249 / max 619 ticks at B=4096, i.e. ~60% idle
+    lanes); refill converts that tail into throughput. Results are
+    bit-identical for any `lanes`: each task is owned by exactly one
+    lane start-to-finish, and emission order within a task is the
+    sequential order.
+
+    Emissions land in rows `out_rows[task]` of `out` (default: the
+    task's read, giving per-READ slots). Pass 2 passes
+    out_rows=arange so multi-task reads keep per-task buffers (its
+    slot-order remap needs them; two live tasks of one read would
+    otherwise collide in a scatter).
 
     NOTE on FMA: an INIT-phase ladder fast-forward (the reference's
     smem-table, src/FMI_search.cpp:1414-1463) was evaluated and
@@ -71,15 +88,23 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
     (ops/smem.py) does use the table, where the fast-forward
     amortizes over all positions at once.
     """
-    T = t_read.shape[0]
+    N = t_read.shape[0]              # backlog size (tasks)
+    T = int(lanes) if lanes else N   # worker lanes
     B, L = codes.shape
     pos_dtype = fmi.pos_dtype
     tidx = jnp.arange(T)
-    zero = jnp.zeros((), pos_dtype)
+    if out_rows is None:
+        out_rows = t_read
+    out_rows = jnp.asarray(out_rows, jnp.int32)
+    OUT_B = out.m.shape[0]
 
-    codes_t = codes[t_read]          # [T, L] per-task read codes
-    lens_t = jnp.where(t_valid, lens[t_read], 0)
-    mi = t_mi.astype(pos_dtype)
+    t_x = t_x.astype(jnp.int32)
+    t_mi_p = t_mi.astype(pos_dtype)
+
+    # initial assignment: lane i takes task i
+    ti0 = jnp.minimum(tidx.astype(jnp.int32), N)
+    safe0 = jnp.clip(ti0, 0, N - 1)
+    live0 = ti0 < N
 
     # stacks: prev (A) and curr (B); entries (k, l, s, n). m is NOT
     # stored per entry: every entry of one stack generation shares it
@@ -100,10 +125,18 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
                     s=jnp.zeros((T, L), pos_dtype),
                     n=jnp.zeros((T, L), jnp.int32))
 
+    len0 = jnp.where(live0 & t_valid[safe0],
+                     lens[t_read[safe0]], 0).astype(jnp.int32)
     st0 = dict(
-        phase=jnp.where(t_valid, P_INIT, P_DONE).astype(jnp.int32),
-        x=t_x.astype(jnp.int32),
-        nx=t_x.astype(jnp.int32) + 1,          # next_x accumulator
+        phase=jnp.where(live0, P_INIT, P_DONE).astype(jnp.int32),
+        ti=ti0,                                # assigned task
+        rd=t_read[safe0].astype(jnp.int32),    # its read
+        len=len0,                              # its (valid) length
+        mi=t_mi_p[safe0],                      # its min_intv
+        row=out_rows[safe0],                   # its output row
+        nexti=jnp.asarray(min(T, N), jnp.int32),
+        x=t_x[safe0],
+        nx=t_x[safe0] + 1,                     # next_x accumulator
         j=jnp.zeros((T,), jnp.int32),
         ck=jnp.zeros((T,), pos_dtype),         # forward interval
         cl=jnp.zeros((T,), pos_dtype),
@@ -117,11 +150,10 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
         curr_s=jnp.full((T,), -1, pos_dtype),
         kept=jnp.zeros((T,), bool),            # emitted_or_kept
         tick=jnp.zeros((), jnp.int32),
-        out=((jnp.stack([out.m, out.n, out.k, out.l, out.s], axis=-1),
-              out.cnt) if aos else out),
+        out=out,
     )
     if with_ticks:
-        st0["done_at"] = jnp.where(t_valid, jnp.int32(-1),
+        st0["done_at"] = jnp.where(live0, jnp.int32(-1),
                                    jnp.zeros((T,), jnp.int32))
 
     def push(stk, cnt, do, k, l, s, n):
@@ -144,15 +176,8 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
         return (stk["k"][tidx, i], stk["l"][tidx, i],
                 stk["s"][tidx, i], stk["n"][tidx, i])
 
-    def emit(o, mask, m, n, k, l, s):
-        if aos:
-            v, cnt = o
-            M2 = v.shape[1]
-            idx = jnp.where(mask, cnt, M2)
-            vals = jnp.stack([m, n, k, l, s], axis=-1)
-            return (v.at[tidx, idx].set(vals, mode="drop"),
-                    cnt + mask.astype(jnp.int32))
-        return o.emit(mask, m, n, k, l, s)
+    def emit(o, mask, rows, m, n, k, l, s):
+        return o.emit_rows(mask, rows, m, n, k, l, s)
 
     def cond(st):
         return jnp.any(st["phase"] != P_DONE)
@@ -164,9 +189,12 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
         is_bs = phase == P_BSCAN
         is_bt = phase == P_BTAIL
 
+        lens_t = st["len"]
+        mi = st["mi"]
+
         # ----- INIT: build the 1-base interval at x (no ext needed);
         # lanes then fall through to FWD on the NEXT tick with j=x+1.
-        xa = codes_t[tidx, jnp.clip(st["x"], 0, L - 1)]
+        xa = codes[st["rd"], jnp.clip(st["x"], 0, L - 1)]
         x_ok = (st["x"] < lens_t) & (xa < 4)
         xac = jnp.clip(xa, 0, 3)
         ik = fmi.count[xac]
@@ -179,7 +207,7 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
         scan_i = jnp.where(st["rev"], st["cntA"] - 1 - st["p"], st["p"])
         pk, pl, ps, pn = at(st["A"], scan_i)
         pm = st["mA"]
-        a_j = codes_t[tidx, jnp.clip(st["j"], 0, L - 1)]
+        a_j = codes[st["rd"], jnp.clip(st["j"], 0, L - 1)]
         ext_k = jnp.where(is_fwd, st["ck"], pk)
         ext_l = jnp.where(is_fwd, st["cl"], pl)
         ext_s = jnp.where(is_fwd, st["cs"], ps)
@@ -253,7 +281,8 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
         emit_sc = die & ((pn - pm + 1) >= min_seed_len)
         # emit0 and emit_sc are mutually exclusive (b_dead vs bs_run)
         # and emit the same scan entry -> one scatter for both
-        out_b = emit(out_b, emit0 | emit_sc, pm, pn, pk, pl, ps)
+        out_b = emit(out_b, emit0 | emit_sc, st["row"], pm, pn,
+                     pk, pl, ps)
         keep_sc = bs_run & ~die & (ns != st["curr_s"])
         hit = emit_sc | keep_sc
         kept = kept | hit
@@ -300,30 +329,27 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
         phase2 = jnp.where(round_over, P_BSCAN, phase2)
         kept = jnp.where(round_over, False, kept)
 
-        # ================= position end -> INIT/DONE =================
+        # ================= position end -> INIT/finish =================
         pos_end = b_dead
         if chain_restarts:
             x2 = jnp.where(pos_end, jnp.maximum(st["nx"], st["x"] + 1),
                            st["x"])
-            done = pos_end & (x2 >= lens_t)
-            phase2 = jnp.where(pos_end, jnp.where(done, P_DONE, P_INIT),
-                               phase2)
+            fin_pos = pos_end & (x2 >= lens_t)
+            phase2 = jnp.where(pos_end & ~fin_pos, P_INIT, phase2)
         else:
             x2 = st["x"]
-            phase2 = jnp.where(pos_end, P_DONE, phase2)
+            fin_pos = pos_end
 
         # ================= INIT transition =================
         # (uses no extension; costs one bubble tick per restart)
         init_bad = is_init & ~x_ok
         if chain_restarts:
             xb = jnp.where(init_bad, st["x"] + 1, x2)
-            done_b = init_bad & (xb >= lens_t)
-            phase2 = jnp.where(init_bad,
-                               jnp.where(done_b, P_DONE, P_INIT),
-                               phase2)
+            fin_init = init_bad & (xb >= lens_t)
+            phase2 = jnp.where(init_bad & ~fin_init, P_INIT, phase2)
             x2 = xb
         else:
-            phase2 = jnp.where(init_bad, P_DONE, phase2)
+            fin_init = init_bad
         init_go = is_init & x_ok
         ck = jnp.where(init_go, ik, ck)
         cl = jnp.where(init_go, il, cl)
@@ -334,10 +360,32 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
         cntA = jnp.where(init_go, 0, cntA)
         phase2 = jnp.where(init_go, P_FWD, phase2)
 
-        st2 = dict(phase=phase2, x=x2, nx=nx, j=j, ck=ck, cl=cl,
-                   cs=cs, cn=cn, A=A, cntA=cntA, Bs=Bs, cntB=cntB,
-                   mA=mA, p=p, rev=rev, curr_s=curr_s, kept=kept,
-                   tick=st["tick"] + 1, out=out_b)
+        # ============ task finished -> pull from the backlog ============
+        fin = (fin_pos | fin_init) & (phase != P_DONE)
+        rank = jnp.cumsum(fin, dtype=jnp.int32) - 1
+        ti2 = st["nexti"] + rank
+        has = fin & (ti2 < N)
+        safe = jnp.clip(ti2, 0, N - 1)
+        new_rd = t_read[safe].astype(jnp.int32)
+        ti = jnp.where(fin, jnp.where(has, ti2, N), st["ti"])
+        rd = jnp.where(has, new_rd, st["rd"])
+        len2 = jnp.where(has,
+                         jnp.where(t_valid[safe], lens[new_rd], 0),
+                         st["len"]).astype(jnp.int32)
+        mi2 = jnp.where(has, t_mi_p[safe], st["mi"])
+        row2 = jnp.where(has, out_rows[safe], st["row"])
+        x2 = jnp.where(has, t_x[safe], x2)
+        # an invalid/zero-length task still enters INIT and finishes
+        # on its next tick (so mid-backlog invalid tasks — e.g. reads
+        # the EMF already resolved — cost one tick, not a dead lane)
+        phase2 = jnp.where(fin, jnp.where(has, P_INIT, P_DONE), phase2)
+        nexti = st["nexti"] + jnp.sum(fin, dtype=jnp.int32)
+
+        st2 = dict(phase=phase2, ti=ti, rd=rd, len=len2, mi=mi2,
+                   row=row2, nexti=nexti, x=x2, nx=nx, j=j, ck=ck,
+                   cl=cl, cs=cs, cn=cn, A=A, cntA=cntA, Bs=Bs,
+                   cntB=cntB, mA=mA, p=p, rev=rev, curr_s=curr_s,
+                   kept=kept, tick=st["tick"] + 1, out=out_b)
         if with_ticks:
             st2["done_at"] = jnp.where(
                 (st["done_at"] < 0) & (phase2 == P_DONE),
@@ -346,10 +394,6 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
 
     stf = jax.lax.while_loop(cond, body, st0)
     ob = stf["out"]
-    if aos:
-        v, cnt = ob
-        ob = SmemBuf(v[..., 0], v[..., 1], v[..., 2], v[..., 3],
-                     v[..., 4], cnt)
     if with_ticks:
         return ob, (stf["tick"], stf["done_at"])
     return ob
@@ -357,29 +401,35 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
 
 def seed_strategy_machine(fmi: DeviceFMIndex, codes, lens,
                           max_intv: int, min_seed_len: int,
-                          max_out: int, with_ticks: bool = False):
+                          max_out: int, with_ticks: bool = False,
+                          lanes: int = None):
     """Pass 3 as a read-per-lane forward-only machine
     (bwtSeedStrategyAllPosOneThread, src/FMI_search.cpp:1662-1730):
     restart-chained forward walks emitting the first seed whose
     interval drops below max_intv at length >= min_seed_len (the
-    emitted seed includes the failing step; s == 0 seeds dropped)."""
+    emitted seed includes the failing step; s == 0 seeds dropped).
+    `lanes` < B enables backlog refill as in one_pos_machine."""
     B, L = codes.shape
+    T = int(lanes) if lanes else B
     pos_dtype = fmi.pos_dtype
-    bidx = jnp.arange(B)
+    tidx = jnp.arange(T)
     mx = jnp.asarray(max_intv, pos_dtype)
-    aos = False   # single-scatter emits measured slower (see above)
 
+    rd0 = jnp.minimum(tidx.astype(jnp.int32), B)
+    safe0 = jnp.clip(rd0, 0, B - 1)
+    live0 = rd0 < B
     st0 = dict(
-        phase=jnp.where(lens > 0, P_INIT, P_DONE).astype(jnp.int32),
-        x=jnp.zeros((B,), jnp.int32),
-        j=jnp.zeros((B,), jnp.int32),
-        ck=jnp.zeros((B,), pos_dtype),
-        cl=jnp.zeros((B,), pos_dtype),
-        cs=jnp.zeros((B,), pos_dtype),
+        phase=jnp.where(live0, P_INIT, P_DONE).astype(jnp.int32),
+        rd=safe0,
+        len=jnp.where(live0, lens[safe0], 0).astype(jnp.int32),
+        nextr=jnp.asarray(min(T, B), jnp.int32),
+        x=jnp.zeros((T,), jnp.int32),
+        j=jnp.zeros((T,), jnp.int32),
+        ck=jnp.zeros((T,), pos_dtype),
+        cl=jnp.zeros((T,), pos_dtype),
+        cs=jnp.zeros((T,), pos_dtype),
         tick=jnp.zeros((), jnp.int32),
-        out=((jnp.zeros((B, max_out, 5), jnp.int32),
-              jnp.zeros((B,), jnp.int32)) if aos
-             else SmemBuf.empty(B, max_out, pos_dtype)),
+        out=SmemBuf.empty(B, max_out, pos_dtype),
     )
 
     def cond(st):
@@ -389,35 +439,29 @@ def seed_strategy_machine(fmi: DeviceFMIndex, codes, lens,
         phase = st["phase"]
         is_init = phase == P_INIT
         is_fwd = phase == P_FWD
+        lens_t = st["len"]
 
-        xa = codes[bidx, jnp.clip(st["x"], 0, L - 1)]
-        x_ok = (st["x"] < lens) & (xa < 4)
+        xa = codes[st["rd"], jnp.clip(st["x"], 0, L - 1)]
+        x_ok = (st["x"] < lens_t) & (xa < 4)
         xac = jnp.clip(xa, 0, 3)
 
-        a_j = codes[bidx, jnp.clip(st["j"], 0, L - 1)]
+        a_j = codes[st["rd"], jnp.clip(st["j"], 0, L - 1)]
         ac = jnp.clip(a_j, 0, 3)
         k4, l4, s4 = _ext_all4(fmi, st["ck"], st["cl"], st["cs"],
-                               jnp.ones((B,), bool))
+                               jnp.ones((T,), bool))
         sel = (3 - ac)[:, None]
         take = lambda v: jnp.take_along_axis(v, sel, axis=-1)[..., 0]
         nk, nl, ns = take(l4), take(k4), take(s4)
 
-        j_in = st["j"] < lens
+        j_in = st["j"] < lens_t
         a_ok = a_j < 4
         f_run = is_fwd & j_in & a_ok
         # seed hit: s dropped below max_intv at sufficient length
         hit = f_run & (ns < mx) \
             & ((st["j"] - st["x"] + 1) >= min_seed_len)
         do_emit = hit & (ns > 0)
-        if aos:
-            v, cnt = st["out"]
-            idx = jnp.where(do_emit, cnt, max_out)
-            vals = jnp.stack([st["x"], st["j"], nk, nl, ns], axis=-1)
-            out = (v.at[bidx, idx].set(vals, mode="drop"),
-                   cnt + do_emit.astype(jnp.int32))
-        else:
-            out = st["out"].emit(do_emit, st["x"], st["j"],
-                                 nk, nl, ns)
+        out = st["out"].emit_rows(do_emit, st["rd"], st["x"], st["j"],
+                                  nk, nl, ns)
         f_end = is_fwd & (~j_in | ~a_ok | hit)
         f_cont = f_run & ~hit
 
@@ -430,16 +474,14 @@ def seed_strategy_machine(fmi: DeviceFMIndex, codes, lens,
         nx = jnp.where(j_in, st["j"] + 1, st["j"])
         nx = jnp.where(is_init, st["x"] + 1, nx)
         x2 = jnp.where(f_end, nx, st["x"])
-        done = f_end & (x2 >= lens)
-        phase2 = jnp.where(f_end, jnp.where(done, P_DONE, P_INIT),
-                           phase)
+        fin_f = f_end & (x2 >= lens_t)
+        phase2 = jnp.where(f_end & ~fin_f, P_INIT, phase)
 
         # INIT: 1-base interval, then forward from x + 1
         init_bad = is_init & ~x_ok
         xb = jnp.where(init_bad, st["x"] + 1, x2)
-        done_b = init_bad & (xb >= lens)
-        phase2 = jnp.where(init_bad, jnp.where(done_b, P_DONE, P_INIT),
-                           phase2)
+        fin_i = init_bad & (xb >= lens_t)
+        phase2 = jnp.where(init_bad & ~fin_i, P_INIT, phase2)
         init_go = is_init & x_ok
         ck = jnp.where(init_go, fmi.count[xac], ck)
         cl = jnp.where(init_go, fmi.count[3 - xac], cl)
@@ -447,15 +489,24 @@ def seed_strategy_machine(fmi: DeviceFMIndex, codes, lens,
         j = jnp.where(init_go, st["x"] + 1, j)
         phase2 = jnp.where(init_go, P_FWD, phase2)
 
-        return dict(phase=phase2, x=xb, j=j, ck=ck, cl=cl, cs=cs,
+        # read finished -> pull the next from the backlog
+        fin = (fin_f | fin_i) & (phase != P_DONE)
+        rank = jnp.cumsum(fin, dtype=jnp.int32) - 1
+        r2 = st["nextr"] + rank
+        has = fin & (r2 < B)
+        safe = jnp.clip(r2, 0, B - 1)
+        rd = jnp.where(has, safe, st["rd"])
+        len2 = jnp.where(has, lens[safe], st["len"]).astype(jnp.int32)
+        xb = jnp.where(has, 0, xb)
+        phase2 = jnp.where(fin, jnp.where(has, P_INIT, P_DONE), phase2)
+        nextr = st["nextr"] + jnp.sum(fin, dtype=jnp.int32)
+
+        return dict(phase=phase2, rd=rd, len=len2, nextr=nextr,
+                    x=xb, j=j, ck=ck, cl=cl, cs=cs,
                     tick=st["tick"] + 1, out=out)
 
     stf = jax.lax.while_loop(cond, body, st0)
     ob = stf["out"]
-    if aos:
-        v, cnt = ob
-        ob = SmemBuf(v[..., 0], v[..., 1], v[..., 2], v[..., 3],
-                     v[..., 4], cnt)
     if with_ticks:
         return ob, stf["tick"]
     return ob
@@ -464,11 +515,17 @@ def seed_strategy_machine(fmi: DeviceFMIndex, codes, lens,
 def collect_smems_rl(fmi: DeviceFMIndex, codes, lens, *,
                      min_seed_len: int, split_len: int,
                      split_width: int, max_mem_intv: int,
-                     max_out: int = None):
+                     max_out: int = None, lanes: int = None):
     """Three-pass SMEM collection on read-per-lane machines; output is
     bit-identical to collect_smems_device (mem_collect_smem,
     src/bwamem.cpp:648-795). Pass 2 needs no covers-x filter: the
-    onePos walk inherently only finds matches through x."""
+    onePos walk inherently only finds matches through x.
+
+    `lanes` (< B) runs each pass with that many worker lanes pulling
+    reads/tasks from the backlog (see one_pos_machine): fewer lanes
+    mean cheaper ticks and less lockstep-tail waste, at more ticks —
+    the sweet spot is hardware-dependent (tune via
+    PipelineConfig.seed_lanes / BENCH_SEED_LANES)."""
     from .smem import _emit_compact
 
     B, L = codes.shape
@@ -479,7 +536,7 @@ def collect_smems_rl(fmi: DeviceFMIndex, codes, lens, *,
     p1 = one_pos_machine(
         fmi, codes, lens, bidx, zi, jnp.ones((B,), jnp.int32),
         lens > 0, True, min_seed_len, M,
-        SmemBuf.empty(B, M, fmi.pos_dtype))
+        SmemBuf.empty(B, M, fmi.pos_dtype), lanes=lanes)
 
     # pass-2 task extraction (same recipe as smems_reseed)
     M1 = p1.m.shape[1]
@@ -498,7 +555,8 @@ def collect_smems_rl(fmi: DeviceFMIndex, codes, lens, *,
     p2t = one_pos_machine(
         fmi, codes, lens, t_read, t_x.astype(jnp.int32),
         t_mi.astype(jnp.int32), t_valid, False, min_seed_len, M,
-        SmemBuf.empty(T, M, fmi.pos_dtype))
+        SmemBuf.empty(T, M, fmi.pos_dtype), lanes=lanes,
+        out_rows=jnp.arange(T, dtype=jnp.int32))
     # remap task rows -> read rows (tasks are read-sorted)
     tmask = (jnp.arange(M)[None, :] < p2t.cnt[:, None]) \
         & t_valid[:, None]
@@ -509,7 +567,8 @@ def collect_smems_rl(fmi: DeviceFMIndex, codes, lens, *,
     parts = [p1, p2]
     if max_mem_intv > 0:
         parts.append(seed_strategy_machine(
-            fmi, codes, lens, max_mem_intv, min_seed_len + 1, M))
+            fmi, codes, lens, max_mem_intv, min_seed_len + 1, M,
+            lanes=lanes))
     combined = concat_smems(*parts)
     valid = jnp.concatenate(
         [jnp.arange(b.m.shape[1])[None, :] < b.cnt[:, None]

@@ -74,6 +74,10 @@ class PipelineConfig:
     # read-per-lane micro-op machine (ops/smem_rl.py) — fewer, smaller
     # gathers; bit-identical output; ignores the FMA table.
     seed_engine: str = "sweep"
+    # readlane worker lanes (< batch): lanes pull reads from the
+    # backlog as they finish (kt_for-style dynamic scheduling) —
+    # None = one lane per read (no refill).
+    seed_lanes: Optional[int] = None
 
 
 def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
@@ -101,7 +105,7 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
             fmi, codes, lens,
             min_seed_len=opt.min_seed_len, split_len=opt.split_len,
             split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
-            max_out=cfg.max_smem_out or L)
+            max_out=cfg.max_smem_out or L, lanes=cfg.seed_lanes)
     else:
         bufs = collect_smems_device(
             fmi, codes, lens,

@@ -170,4 +170,89 @@ i64 emf_insert(const u64* grp_h, i64 n_grp, i64 ncap, i64* tab) {
     return maxp;
 }
 
+// Streaming chunked insertion directly into the persistent table
+// arrays (genome-scale builds can't materialize all positions at
+// once; the reference streams with a producer/consumer pipeline,
+// src/perfect_index.cpp:1317-1437). Chunks arrive in ascending
+// position order; groups within a chunk are inserted in ascending
+// representative-position order (grp_order), so an entry's stored
+// location is always its globally-smallest position. Same-seed
+// groups from later chunks MERGE into the existing entry (same
+// canonical window verified by full compare — a 32-bit fp match
+// alone keeps probing). New entries claim empty slots only while
+// n_entries < budget (the MEMSCALE partial-EMF analogue,
+// src/bwa_shm.cpp:1585-1770 pt_num_seed_entry_loaded); over-budget
+// groups are skipped (those seeds miss -> normal seeding path).
+// Members beyond an entry's stored location are appended to the
+// merge log (slot, position, same-orientation) for multi-location
+// list construction by the caller.
+// state[0]=n_entries, state[1]=max_probe. Returns the number of log
+// records written, or -1 if mlog_cap would overflow.
+i64 emf_insert_chunk(
+    const uint8_t* seq, int32_t S,
+    const i64* positions, const uint8_t* pos_fwless,
+    const u64* grp_h, const i64* grp_rep, const i64* grp_cnt,
+    i64 n_grp, const i64* grp_order,
+    const i64* memb_idx, const i64* memb_off,
+    i64* loc, uint32_t* fp, uint8_t* fwl, int32_t* cnt,
+    i64 cap, i64 budget_entries, i64* state,
+    i64* mlog_slot, i64* mlog_pos, uint8_t* mlog_same,
+    i64 mlog_cap) {
+    u64 mask = (u64)cap - 1;
+    i64 n_log = 0;
+    for (i64 oi = 0; oi < n_grp; ++oi) {
+        i64 g = grp_order[oi];
+        u64 h = grp_h[g];
+        uint32_t f32 = (uint32_t)(h >> 32);
+        u64 s = h & mask;
+        i64 probe = 1;
+        i64 hit = -1;      // slot merged into or claimed; -1 skipped
+        bool claimed = false;
+        for (;;) {
+            if (loc[s] < 0) {
+                if (state[0] >= budget_entries) break;  // budget full
+                // the representative's fwless is that of its window
+                // (members of one group can have either orientation
+                // when the seed is its own revcomp neighbour; the
+                // entry stores the rep's)
+                loc[s] = grp_rep[g];
+                fp[s] = f32;
+                // rep is members[0] (ascending positions)
+                fwl[s] = pos_fwless[memb_idx[memb_off[g]]];
+                cnt[s] = (int32_t)grp_cnt[g];
+                state[0] += 1;
+                hit = (i64)s;
+                claimed = true;
+                break;
+            }
+            if (fp[s] == f32 &&
+                canon_cmp(seq, loc[s], fwl[s] != 0,
+                          grp_rep[g],
+                          pos_fwless[memb_idx[memb_off[g]]] != 0,
+                          S) == 0) {
+                cnt[s] += (int32_t)grp_cnt[g];
+                hit = (i64)s;
+                break;
+            }
+            s = (s + 1) & mask;
+            if (++probe > cap) break;   // table saturated
+        }
+        if (probe > state[1]) state[1] = probe;
+        if (hit < 0) continue;
+        // log members past the stored location (claim: skip the rep;
+        // merge: every member)
+        i64 mb = memb_off[g] + (claimed ? 1 : 0);
+        i64 me = memb_off[g + 1];
+        if (n_log + (me - mb) > mlog_cap) return -1;
+        for (i64 m = mb; m < me; ++m) {
+            i64 pi = memb_idx[m];
+            mlog_slot[n_log] = hit;
+            mlog_pos[n_log] = positions[pi];
+            mlog_same[n_log] = (uint8_t)(pos_fwless[pi] == fwl[hit]);
+            ++n_log;
+        }
+    }
+    return n_log;
+}
+
 }  // extern "C"

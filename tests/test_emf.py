@@ -225,3 +225,71 @@ def test_multi_location_rescue_longer_than_seed():
                            np.array([L], np.int32))
     assert host["code"][0] == out["code"][0]
     assert host["loc"][0] == out["loc"][0]
+
+
+def test_chunked_builder_matches_oneshot(small_index):
+    """The genome-scale streaming builder (native emf_insert_chunk,
+    position-order chunks, budget cap) must give the same lookup
+    results and multi-location lists as the one-shot builder for
+    every genome window."""
+    import numpy as np
+    from bwa_mem_scale_tpu.index.perfect import (
+        build_perfect_table, build_perfect_table_chunked,
+        emf_lookup_host)
+
+    S = 40
+    a = build_perfect_table(small_index, seed_len=S)
+    b = build_perfect_table_chunked(small_index, seed_len=S,
+                                    chunk=3000)
+    assert b.max_probe >= 1
+    # probe every genome window as a read (+ a few mutated misses)
+    g = small_index.bns.seq
+    P = len(g) - S + 1
+    take = np.arange(0, P, 7)
+    codes = np.stack([g[p: p + S] for p in take]).astype(np.int32)
+    rng = np.random.RandomState(3)
+    mut = codes[: 50].copy()
+    mut[np.arange(50), rng.randint(0, S, 50)] = rng.randint(0, 4, 50)
+    codes = np.concatenate([codes, mut])
+    lens = np.full(len(codes), S, np.int32)
+    ra = emf_lookup_host(a, small_index.ref_string, codes, lens)
+    rb = emf_lookup_host(b, small_index.ref_string, codes, lens)
+    assert (ra["code"] == rb["code"]).all()
+    hit = (ra["code"] == 3) | (ra["code"] == 4)
+    assert (ra["loc"][hit] == rb["loc"][hit]).all()
+    assert (ra["n_loc"][hit] == rb["n_loc"][hit]).all()
+    # multi-location lists agree seed-by-seed
+    for i in np.flatnonzero(hit & (ra["n_loc"] > 1))[:200]:
+        fa = a.locations(int(ra["slot"][i]))
+        fb = b.locations(int(rb["slot"][i]))
+        assert [list(x) for x in fa] == [list(x) for x in fb], i
+
+
+def test_chunked_builder_budget_partial(small_index):
+    """With a tight budget the chunked builder keeps only the
+    earliest seeds: lookups either agree with the full table or miss
+    (never a wrong location) — MEMSCALE partial-EMF semantics."""
+    import numpy as np
+    from bwa_mem_scale_tpu.index.perfect import (
+        build_perfect_table, build_perfect_table_chunked,
+        emf_lookup_host)
+
+    S = 40
+    full = build_perfect_table(small_index, seed_len=S)
+    part = build_perfect_table_chunked(small_index, seed_len=S,
+                                       chunk=5000,
+                                       budget_bytes=1 << 18)
+    assert len(part.loc) < len(full.loc)
+    g = small_index.bns.seq
+    take = np.arange(0, len(g) - S + 1, 11)
+    codes = np.stack([g[p: p + S] for p in take]).astype(np.int32)
+    lens = np.full(len(codes), S, np.int32)
+    rf = emf_lookup_host(full, small_index.ref_string, codes, lens)
+    rp = emf_lookup_host(part, small_index.ref_string, codes, lens)
+    hitf = (rf["code"] == 3) | (rf["code"] == 4)
+    hitp = (rp["code"] == 3) | (rp["code"] == 4)
+    assert hitp.sum() < hitf.sum()      # genuinely partial
+    assert hitp.sum() > 0
+    ok = hitp & hitf
+    assert (rp["loc"][ok] == rf["loc"][ok]).all()
+    assert not (hitp & ~hitf).any()     # no spurious hits

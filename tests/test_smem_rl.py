@@ -123,3 +123,29 @@ def test_collect_smems_rl_matches_device_sweep(small_index, dev_index):
         fa, fb = np.asarray(fa), np.asarray(fb)
         for i in range(fa.shape[0]):
             assert (fa[i, :ca[i]] == fb[i, :ca[i]]).all()
+
+
+@pytest.mark.parametrize("lanes", [3, 7, 19])
+def test_collect_smems_rl_refill_bit_equal(small_index, dev_index,
+                                           lanes):
+    """Backlog-refill mode (worker lanes < reads, kt_for-style
+    dynamic scheduling) must be bit-identical to one-lane-per-read
+    for any lane count — including lane counts that don't divide the
+    batch and a mid-batch zero-length read."""
+    opt = MemOptions()
+    _, codes, lens = _read_set(small_index)
+    lens = lens.copy()
+    lens[2] = 0          # mid-backlog dead read (EMF-resolved analog)
+    kw = dict(min_seed_len=opt.min_seed_len, split_len=opt.split_len,
+              split_width=opt.split_width,
+              max_mem_intv=opt.max_mem_intv)
+    a = collect_smems_rl(dev_index, jnp.asarray(codes),
+                         jnp.asarray(lens), **kw)
+    b = collect_smems_rl(dev_index, jnp.asarray(codes),
+                         jnp.asarray(lens), lanes=lanes, **kw)
+    ca, cb = np.asarray(a.cnt), np.asarray(b.cnt)
+    assert (ca == cb).all()
+    for fa, fb in zip(a[:5], b[:5]):
+        fa, fb = np.asarray(fa), np.asarray(fb)
+        for i in range(fa.shape[0]):
+            assert (fa[i, :ca[i]] == fb[i, :ca[i]]).all(), (lanes, i)
