@@ -127,8 +127,36 @@ def get_aligner():
                       emf=emf)
 
 
+def _probe_default_backend(timeout_s: int = 240) -> bool:
+    """True if the default jax backend completes a tiny program.
+
+    The axon TPU tunnel can wedge (dispatches hang, not fail); a
+    hung bench run records nothing. Probe in a subprocess so a wedge
+    is a timeout, then fall back to CPU with an honest metric tag."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp\n"
+             "x = jnp.ones((64, 64))\n"
+             "jax.block_until_ready(x @ x)\n"
+             "print('BENCH_PROBE_OK')"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return "BENCH_PROBE_OK" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    global BENCH_TAG
     import jax
+
+    if not _probe_default_backend():
+        print("* default backend unresponsive; falling back to CPU "
+              "(metric tagged _cpufallback)", file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        BENCH_TAG = (BENCH_TAG or "") + "cpufallback"
+
     from bwa_mem_scale_tpu.models.aligner import simulate_reads
 
     print(f"* devices: {jax.devices()}", file=sys.stderr)

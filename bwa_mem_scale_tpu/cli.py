@@ -13,6 +13,7 @@ Runtime options of `mem` mirror mem_opt_t flags (src/fastmap.cpp:952+).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -500,6 +501,19 @@ def cmd_perfect_index(argv):
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    # --platform cpu|tpu|axon (or BWATPU_PLATFORM): pin the jax
+    # backend before first device use. Needed because this must be a
+    # config update, not an env var: some site setups overwrite
+    # JAX_PLATFORMS after env processing.
+    plat = os.environ.get("BWATPU_PLATFORM")
+    if "--platform" in argv:
+        i = argv.index("--platform")
+        plat = argv[i + 1]
+        del argv[i:i + 2]
+    if plat:
+        import jax
+        jax.config.update("jax_platforms",
+                          "cpu" if plat == "cpu" else plat + ",cpu")
     if not argv or argv[0] in ("-h", "--help"):
         print("usage: bwa-mem-scale-tpu "
               "{index,mem,smem-table,perfect-index,ert-index,"

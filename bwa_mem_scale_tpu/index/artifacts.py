@@ -79,27 +79,30 @@ def save_index(idx: FMIndex, prefix: str) -> str:
 
 def load_index(prefix: str) -> FMIndex:
     path = prefix if prefix.endswith(".npz") else prefix + ".tpuidx.npz"
-    with np.load(path) as z:
-        meta = json.loads(bytes(z["meta"]).decode())
-        if meta["version"] != ARTIFACT_VERSION:
-            raise ValueError(f"index version {meta['version']} != "
-                             f"{ARTIFACT_VERSION}")
-        ref_string = z["ref_string"]
-        bns = BntSeq(
-            l_pac=meta["l_pac"],
-            anns=[Annotation(**a) for a in meta["anns"]],
-            ambs=[Hole(**h) for h in meta["ambs"]],
-            seq=ref_string[: meta["l_pac"]],
-            seed=meta["seed"],
-        )
-        return FMIndex(
-            seq_len=meta["seq_len"],
-            count=z["count"],
-            cp_count=z["cp_count"],
-            cp_mask=z["cp_mask"],
-            sa_samples=z["sa_samples"],
-            sa_compx=meta["sa_compx"],
-            sentinel_index=meta["sentinel_index"],
-            bns=bns,
-            ref_string=ref_string,
-        )
+    # zero-copy open: members memory-map in place (utils/npzmap);
+    # pages stream in as the first batches touch them
+    from ..utils.npzmap import load_npz_mmap
+    z = load_npz_mmap(path)
+    meta = json.loads(bytes(z["meta"]).decode())
+    if meta["version"] != ARTIFACT_VERSION:
+        raise ValueError(f"index version {meta['version']} != "
+                         f"{ARTIFACT_VERSION}")
+    ref_string = z["ref_string"]
+    bns = BntSeq(
+        l_pac=meta["l_pac"],
+        anns=[Annotation(**a) for a in meta["anns"]],
+        ambs=[Hole(**h) for h in meta["ambs"]],
+        seq=ref_string[: meta["l_pac"]],
+        seed=meta["seed"],
+    )
+    return FMIndex(
+        seq_len=meta["seq_len"],
+        count=z["count"],
+        cp_count=z["cp_count"],
+        cp_mask=z["cp_mask"],
+        sa_samples=z["sa_samples"],
+        sa_compx=meta["sa_compx"],
+        sentinel_index=meta["sentinel_index"],
+        bns=bns,
+        ref_string=ref_string,
+    )

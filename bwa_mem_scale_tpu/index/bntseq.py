@@ -151,7 +151,12 @@ class BntSeq:
 
     @property
     def offsets(self) -> np.ndarray:
-        return np.array([a.offset for a in self.anns], dtype=np.int64)
+        cached = getattr(self, "_offsets_arr", None)
+        if cached is None or len(cached) != len(self.anns):
+            cached = np.array([a.offset for a in self.anns],
+                              dtype=np.int64)
+            object.__setattr__(self, "_offsets_arr", cached)
+        return cached
 
     @property
     def lens(self) -> np.ndarray:
@@ -182,6 +187,26 @@ class BntSeq:
         pos_f = np.asarray(pos_f, dtype=np.int64)
         rid = np.searchsorted(self.offsets, pos_f, side="right") - 1
         return np.where(pos_f >= self.l_pac, -1, rid).astype(np.int32)
+
+    # scalar fast paths: the record-emit loop calls these once or
+    # twice per SAM record; the array versions cost ~40 us/call in
+    # numpy scalar overhead, these ~1 us
+    def depos1(self, pos: int) -> Tuple[int, bool]:
+        pos = int(pos)
+        if pos >= self.l_pac:
+            return (self.l_pac << 1) - 1 - pos, True
+        return pos, False
+
+    def pos2rid1(self, pos_f: int) -> int:
+        pos_f = int(pos_f)
+        if pos_f >= self.l_pac:
+            return -1
+        lst = getattr(self, "_offsets_list", None)
+        if lst is None or len(lst) != len(self.anns):
+            lst = [a.offset for a in self.anns]
+            object.__setattr__(self, "_offsets_list", lst)
+        import bisect
+        return bisect.bisect_right(lst, pos_f) - 1
 
     def intv2rid(self, rb: np.ndarray, re: np.ndarray) -> np.ndarray:
         """Interval -> contig id; -2 if bridging fw/rc, -1 if spanning

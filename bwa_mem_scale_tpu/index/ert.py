@@ -261,9 +261,10 @@ def save_ert(ert: ErtIndex, prefix: str) -> str:
 
 
 def load_ert(path: str) -> ErtIndex:
-    with np.load(path) as z:
-        return ErtIndex(K=int(z["K"]), max_depth=int(z["max_depth"]),
-                        kmer_lo=z["kmer_lo"], kmer_cnt=z["kmer_cnt"],
-                        kmer_ptr=z["kmer_ptr"], node_lo=z["node_lo"],
-                        node_cnt=z["node_cnt"], child_ptr=z["child_ptr"],
-                        root_children=z["root_children"])
+    from ..utils.npzmap import load_npz_mmap
+    z = load_npz_mmap(path)
+    return ErtIndex(K=int(z["K"]), max_depth=int(z["max_depth"]),
+                    kmer_lo=z["kmer_lo"], kmer_cnt=z["kmer_cnt"],
+                    kmer_ptr=z["kmer_ptr"], node_lo=z["node_lo"],
+                    node_cnt=z["node_cnt"], child_ptr=z["child_ptr"],
+                    root_children=z["root_children"])

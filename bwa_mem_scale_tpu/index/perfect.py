@@ -477,9 +477,10 @@ def save_perfect_table(pt: PerfectTable, prefix: str) -> str:
 
 
 def load_perfect_table(path: str) -> PerfectTable:
-    with np.load(path) as z:
-        return PerfectTable(
-            seed_len=int(z["seed_len"]), l_pac=int(z["l_pac"]),
-            max_probe=int(z["max_probe"]), loc=z["loc"], fp=z["fp"],
-            fwless=z["fwless"], cnt=z["cnt"], mlidx=z["mlidx"],
-            ml_off=z["ml_off"], ml_nfw=z["ml_nfw"], ml_locs=z["ml_locs"])
+    from ..utils.npzmap import load_npz_mmap
+    z = load_npz_mmap(path)
+    return PerfectTable(
+        seed_len=int(z["seed_len"]), l_pac=int(z["l_pac"]),
+        max_probe=int(z["max_probe"]), loc=z["loc"], fp=z["fp"],
+        fwless=z["fwless"], cnt=z["cnt"], mlidx=z["mlidx"],
+        ml_off=z["ml_off"], ml_nfw=z["ml_nfw"], ml_locs=z["ml_locs"])

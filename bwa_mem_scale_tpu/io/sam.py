@@ -7,6 +7,7 @@ single-end path; mate fields are filled when a mate record is supplied
 
 from __future__ import annotations
 
+import copy
 from typing import List, Optional
 
 from ..config import MemOptions, MEM_F_SOFTCLIP
@@ -15,6 +16,12 @@ from ..ref.ksw import cigar_rlen
 
 _FWD = "ACGTN"
 _REV = "TGCAN"
+# nt4 code -> ASCII base, whole-slice bytes.translate (the SEQ column
+# is the one per-base loop on the emit path)
+_FWD_TBL = bytes(_FWD.encode()[c] if c < 5 else ord("N")
+                 for c in range(256))
+_REV_TBL = bytes(_REV.encode()[c] if c < 5 else ord("N")
+                 for c in range(256))
 
 
 def sam_header(bns, rg_line: Optional[str] = None,
@@ -44,8 +51,8 @@ def _cigar_text(opt: MemOptions, p: Aln, which: int) -> str:
 def aln_to_sam_line(opt: MemOptions, bns, read, n: int, records: List[Aln],
                     which: int, mate: Optional[Aln] = None,
                     rg_id: Optional[str] = None) -> str:
-    p = Aln(**vars(records[which]))
-    m = Aln(**vars(mate)) if mate is not None else None
+    p = copy.copy(records[which])
+    m = copy.copy(mate) if mate is not None else None
     p.flag |= 0x1 if m else 0
     p.flag |= 0x4 if p.rid < 0 else 0
     p.flag |= 0x8 if (m and m.rid < 0) else 0
@@ -98,10 +105,12 @@ def aln_to_sam_line(opt: MemOptions, bns, read, n: int, records: List[Aln],
                 if last_op[1] in (3, 4):
                     qb += last_op[0]
         if not p.is_rev:
-            cols.append("".join(_FWD[c] for c in read.seq[qb:qe]))
+            cols.append(read.seq[qb:qe].tobytes().translate(_FWD_TBL)
+                        .decode("ascii"))
             cols.append(read.qual[qb:qe] if read.qual else "*")
         else:
-            cols.append("".join(_REV[c] for c in read.seq[qb:qe][::-1]))
+            cols.append(read.seq[qb:qe][::-1].tobytes()
+                        .translate(_REV_TBL).decode("ascii"))
             cols.append(read.qual[qb:qe][::-1] if read.qual else "*")
 
     tags = []

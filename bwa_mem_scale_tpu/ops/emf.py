@@ -142,9 +142,10 @@ def emf_lookup(emf: DeviceEmf, ref: jax.Array, codes, lens):
     pos_rc = loc - (lens - S).astype(jnp.int64)
     okf = loc + lens <= emf.l_pac
     okr = pos_rc >= 0
+    from .occ import ref_byte
     l_pac2 = 2 * emf.l_pac
-    reff = ref[jnp.clip(loc[:, None] + iota[None, :], 0, l_pac2 - 1)]
-    refr = ref[jnp.clip(pos_rc[:, None] + iota[None, :], 0, l_pac2 - 1)]
+    reff = ref_byte(ref, loc[:, None] + iota[None, :], emf.l_pac)
+    refr = ref_byte(ref, pos_rc[:, None] + iota[None, :], emf.l_pac)
     fwm = (has_cand & okf
            & jnp.all(~in_len | (reff == codes), axis=1))
     rcm = (has_cand & okr
@@ -183,8 +184,8 @@ def emf_lookup(emf: DeviceEmf, ref: jax.Array, codes, lens):
             start = jnp.where(isrev, posr, loc_c)
             okb = jnp.where(isrev, posr >= 0,
                             loc_c + lens <= emf.l_pac)
-            win = ref[jnp.clip(start[:, None] + iota[None, :], 0,
-                               l_pac2 - 1)]
+            win = ref_byte(ref, start[:, None] + iota[None, :],
+                           emf.l_pac)
             tgt = jnp.where(isrev[:, None], rcr, codes)
             okm = (in_list & okb
                    & jnp.all(~in_len | (win == tgt), axis=1))

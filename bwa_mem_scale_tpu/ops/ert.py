@@ -258,10 +258,15 @@ def collect_smems_ert(ert: DeviceErt, ref, codes, lens, *,
     cand = (valid & ((p1.n + 1 - p1.m) >= split_len)
             & (p1.s <= split_width))
     flat = cand.reshape(B * M1)
+    TB = 2 * B         # same reseed-task budget as smems_reseed
     flat_idx = jnp.arange(B * M1, dtype=jnp.int32)
     key = jnp.where(flat, flat_idx, jnp.int32(1 << 30))
-    order = jnp.argsort(key)[:B].astype(jnp.int32)
+    order = jnp.argsort(key)[:TB].astype(jnp.int32)
     t_valid = jnp.take(key, order) < (1 << 30)
+    # per-read reseed-task overflow (see smems_reseed): saturate the
+    # final count so the aligner's retry machinery re-runs the read
+    rank = jnp.cumsum(flat, dtype=jnp.int32) - 1
+    reseed_of = jnp.any((flat & (rank >= TB)).reshape(B, M1), axis=1)
     t_read = (order // M1).astype(jnp.int32)
     t_slot = order % M1
     t_m = p1.m[t_read, t_slot]
@@ -301,5 +306,6 @@ def collect_smems_ert(ert: DeviceErt, ref, codes, lens, *,
     keyf = jnp.where(valid_all, keyf, jnp.int64(2 ** 62))
     order_f = jnp.argsort(keyf, axis=1)
     take = lambda arr: jnp.take_along_axis(arr, order_f, axis=1)
+    cnt = jnp.where(reseed_of, combined.m.shape[1], combined.cnt)
     return SmemBuf(take(combined.m), take(combined.n), take(combined.k),
-                   take(combined.l), take(combined.s), combined.cnt)
+                   take(combined.l), take(combined.s), cnt)

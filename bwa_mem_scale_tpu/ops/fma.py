@@ -119,9 +119,10 @@ def save_fma(fma: FmaTable, prefix: str) -> str:
 
 
 def load_fma(path: str) -> FmaTable:
-    with np.load(path) as z:
-        return FmaTable(K=int(z["K"]), ladder_k=z["ladder_k"],
-                        ladder_l=z["ladder_l"], ladder_s=z["ladder_s"])
+    from ..utils.npzmap import load_npz_mmap
+    z = load_npz_mmap(path)
+    return FmaTable(K=int(z["K"]), ladder_k=z["ladder_k"],
+                    ladder_l=z["ladder_l"], ladder_s=z["ladder_s"])
 
 
 def fast_forward(fmi: DeviceFMIndex, fma: DeviceFmaTable, codes, lens,

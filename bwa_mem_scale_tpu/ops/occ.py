@@ -39,11 +39,20 @@ class DeviceFMIndex:
     count: jax.Array        # [5] pos_dtype
     cp_fused: jax.Array     # [nb, 8] int32 (counts | bitcast masks),
                             # or None for int64 genomes
-    cp_count: jax.Array     # [nb, 4] pos_dtype (int64 path)
-    cp_mask: jax.Array      # [nb, 4] uint32    (int64 path)
-    sa_samples: jax.Array   # [ns] pos_dtype
+    cp_fused32: jax.Array   # int64 path: [nb, 8] uint32
+                            #   (low-32 counts | masks) — one gather
+    cp_hi: jax.Array        # int64 path: [nb, 4] uint8 high count
+                            #   bits (positions < 2^40, so 8 suffice)
+    sa_samples: jax.Array   # [ns] pos_dtype (int32 path; None int64)
+    sa_ms: jax.Array        # int64 path: [ns] uint8 high byte
+    sa_ls: jax.Array        # int64 path: [ns] uint32 low word
+                            #   (the reference's exact 5-byte layout,
+                            #    sa_ms_byte/sa_ls_word,
+                            #    src/FMI_search.cpp:723-743)
     sentinel_index: jax.Array  # scalar pos_dtype
-    ref: jax.Array          # [2*l_pac] uint8 fw+rc byte reference
+    ref: jax.Array          # uint8 byte reference: fw+rc [2*l_pac],
+                            # or forward-only [l_pac] (hg38 HBM plan;
+                            # read through ref_byte)
     # static metadata
     sa_compx: int
     l_pac: int
@@ -54,9 +63,9 @@ class DeviceFMIndex:
         return self.count.dtype
 
     def tree_flatten(self):
-        children = (self.count, self.cp_fused, self.cp_count,
-                    self.cp_mask, self.sa_samples, self.sentinel_index,
-                    self.ref)
+        children = (self.count, self.cp_fused, self.cp_fused32,
+                    self.cp_hi, self.sa_samples, self.sa_ms,
+                    self.sa_ls, self.sentinel_index, self.ref)
         aux = (self.sa_compx, self.l_pac, self.seq_len)
         return children, aux
 
@@ -65,47 +74,84 @@ class DeviceFMIndex:
         return cls(*children, *aux)
 
     @classmethod
-    def from_host(cls, idx: FMIndex, force_int64: bool = False
-                  ) -> "DeviceFMIndex":
+    def from_host(cls, idx: FMIndex, force_int64: bool = False,
+                  ref_fw_only: bool = None) -> "DeviceFMIndex":
+        """ref_fw_only (default: on for int64-position genomes, where
+        HBM is the binding constraint) uploads only the forward half
+        of the reference; consumers read it through ops.occ.ref_byte,
+        which reconstructs the reverse-complement strand on the fly."""
         pos_dtype = (np.int64 if (force_int64 or not idx.pos_fits_int32)
                      else np.int32)
+        cp_fused = cp_fused32 = cp_hi = None
+        sa_samples = sa_ms = sa_ls = None
         if pos_dtype == np.int32:
             fused = np.concatenate(
                 [idx.cp_count.astype(np.int32),
                  idx.cp_mask.view(np.int32).reshape(-1, 4)],
                 axis=1)
             cp_fused = jnp.asarray(fused)
-            cp_count = None
-            cp_mask = None
+            sa_samples = jnp.asarray(idx.sa_samples, dtype=pos_dtype)
         else:
-            cp_fused = None
-            cp_count = jnp.asarray(idx.cp_count, dtype=pos_dtype)
-            cp_mask = jnp.asarray(idx.cp_mask)
+            # hg38-class HBM residency: checkpoint counts split into
+            # a fused uint32 row (low words | masks — one gather on
+            # the hot path) + a tiny uint8 high-byte array; SA
+            # samples in the reference's 5-byte ms/ls layout; the
+            # reference forward half only. ~14 GB total for hg38's
+            # 6.2e9-position fw+rc space vs ~22 GB naive int64.
+            cnt = np.ascontiguousarray(idx.cp_count, dtype=np.int64)
+            fused32 = np.concatenate(
+                [(cnt & 0xFFFFFFFF).astype(np.uint32),
+                 idx.cp_mask.view(np.uint32).reshape(-1, 4)], axis=1)
+            cp_fused32 = jnp.asarray(fused32)
+            cp_hi = jnp.asarray((cnt >> 32).astype(np.uint8))
+            sa = np.ascontiguousarray(idx.sa_samples, dtype=np.int64)
+            sa_ms = jnp.asarray((sa >> 32).astype(np.uint8))
+            sa_ls = jnp.asarray((sa & 0xFFFFFFFF).astype(np.uint32))
+        if ref_fw_only is None:
+            ref_fw_only = pos_dtype == np.int64
+        ref = (idx.ref_string[: idx.bns.l_pac] if ref_fw_only
+               else idx.ref_string)
         return cls(
             count=jnp.asarray(idx.count, dtype=pos_dtype),
             cp_fused=cp_fused,
-            cp_count=cp_count,
-            cp_mask=cp_mask,
-            sa_samples=jnp.asarray(idx.sa_samples, dtype=pos_dtype),
+            cp_fused32=cp_fused32,
+            cp_hi=cp_hi,
+            sa_samples=sa_samples,
+            sa_ms=sa_ms,
+            sa_ls=sa_ls,
             sentinel_index=jnp.asarray(idx.sentinel_index, dtype=pos_dtype),
-            ref=jnp.asarray(idx.ref_string),
+            ref=jnp.asarray(ref),
             sa_compx=idx.sa_compx,
             l_pac=idx.bns.l_pac,
             seq_len=idx.seq_len,
         )
 
 
+def ref_byte(ref: jax.Array, pos: jax.Array, l_pac: int) -> jax.Array:
+    """Reference base at fw+rc position(s) in [0, 2*l_pac) as int32.
+
+    Supports both device layouts: the full fw+rc byte array, or
+    forward-only ([l_pac]) with the reverse-complement strand
+    computed on the fly from the mirrored position — the hg38 HBM
+    residency plan (halves the resident reference, one gather either
+    way; the ref holds only 0..3 because index construction fills
+    ambiguity holes with random bases, matching the reference's pac,
+    src/bntseq.cpp)."""
+    l2 = 2 * l_pac
+    pos = jnp.clip(pos, 0, l2 - 1)
+    if int(ref.shape[0]) >= l2:
+        return ref[pos].astype(jnp.int32)
+    rev = pos >= l_pac
+    idx = jnp.where(rev, (l2 - 1) - pos, pos)
+    v = ref[idx].astype(jnp.int32)
+    return jnp.where(rev, 3 - v, v)
+
+
 def occ_all4(fmi: DeviceFMIndex, pp: jax.Array) -> jax.Array:
     """occ(pp, c) for all four bases. pp [...], returns [..., 4]."""
     block = (pp >> CP_SHIFT).astype(jnp.int32)
     y = (pp & CP_MASK).astype(jnp.uint32)
-    if fmi.cp_fused is not None:
-        row = fmi.cp_fused[block]              # [..., 8] one gather
-        counts = row[..., :4]
-        masks = jax.lax.bitcast_convert_type(row[..., 4:], jnp.uint32)
-    else:
-        counts = fmi.cp_count[block]           # [..., 4]
-        masks = fmi.cp_mask[block]             # [..., 4] uint32
+    counts, masks = _row_at(fmi, block)
     # Top-y-bits mask; y == 0 -> 0.
     top = (~(jnp.uint32(0xFFFFFFFF) >> y)).astype(jnp.uint32)
     hit = masks & top[..., None]
@@ -149,11 +195,26 @@ def forward_ext(fmi: DeviceFMIndex, k, l, s, a):
 
 
 def _row_at(fmi: DeviceFMIndex, block):
+    """(counts [..., 4] pos_dtype, masks [..., 4] uint32) for the
+    checkpoint rows at `block` — one fused gather on the hot path
+    (plus the tiny uint8 high-count gather on the int64 layout)."""
     if fmi.cp_fused is not None:
         row = fmi.cp_fused[block]
         return row[..., :4], jax.lax.bitcast_convert_type(row[..., 4:],
                                                           jnp.uint32)
-    return fmi.cp_count[block], fmi.cp_mask[block]
+    row = fmi.cp_fused32[block]                 # [..., 8] uint32
+    lo = row[..., :4].astype(jnp.int64)
+    hi = fmi.cp_hi[block].astype(jnp.int64)     # [..., 4] uint8
+    return (hi << 32) | lo, row[..., 4:]
+
+
+def sa_sample_at(fmi: DeviceFMIndex, idx: jax.Array) -> jax.Array:
+    """SA sample at sample-index `idx` ([...] pos_dtype)."""
+    if fmi.sa_samples is not None:
+        return fmi.sa_samples[idx]
+    hi = fmi.sa_ms[idx].astype(jnp.int64)
+    lo = fmi.sa_ls[idx].astype(jnp.int64)
+    return (hi << 32) | lo
 
 
 def bwt_base_at(fmi: DeviceFMIndex, pos: jax.Array) -> jax.Array:

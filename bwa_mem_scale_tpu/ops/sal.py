@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .occ import DeviceFMIndex, occ_and_base
+from .occ import DeviceFMIndex, occ_and_base, sa_sample_at
 from .smem import SmemBuf
 
 
@@ -30,7 +30,7 @@ def sa_lookup(fmi: DeviceFMIndex, pos: jax.Array, valid: jax.Array
     if fmi.sa_compx == 0:
         # full SA resident (memory-for-speed knob, like the
         # reference's SA_COMPX build parameter): single gather.
-        out = fmi.sa_samples[pos.astype(jnp.int64)]
+        out = sa_sample_at(fmi, pos.astype(jnp.int64))
         return jnp.where(valid, out, 0)
 
     def cond(st):
@@ -41,7 +41,7 @@ def sa_lookup(fmi: DeviceFMIndex, pos: jax.Array, valid: jax.Array
         sp, offset, active, done_val = st
         sampled = (sp & compx_mask) == 0
         take_sample = active & sampled
-        samp = fmi.sa_samples[(sp >> fmi.sa_compx).astype(jnp.int64)]
+        samp = sa_sample_at(fmi, (sp >> fmi.sa_compx).astype(jnp.int64))
         done_val = jnp.where(take_sample, samp + offset, done_val)
         active = active & ~sampled
         # LF step: one fused row gather gives both occ and BWT[sp].

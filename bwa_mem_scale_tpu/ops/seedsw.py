@@ -167,10 +167,9 @@ def seed_sw_filter(fmi, dbns, codes, lens, ch, order, kept, opt,
     qi = jnp.arange(QL, dtype=jnp.int32)[None, :]
     p_q = jnp.take_along_axis(
         codes[p_read], jnp.clip(p_qb[:, None] + qi, 0, L - 1), axis=1)
+    from .occ import ref_byte
     ti = jnp.arange(TL, dtype=jnp.int64)[None, :]
-    l2 = jnp.int64(2 * dbns.l_pac)
-    p_t = fmi.ref[jnp.clip(p_rb[:, None] + ti, 0, l2 - 1)
-                  ].astype(jnp.int32)
+    p_t = ref_byte(fmi.ref, p_rb[:, None] + ti, dbns.l_pac)
 
     scores = local_sw_score_batch(
         p_q.astype(jnp.int32), p_qlen, p_t, p_tlen,

@@ -316,14 +316,23 @@ def smems_reseed(fmi: DeviceFMIndex, codes, lens, pass1: SmemBuf,
     """
     B, L = codes.shape
     M1 = pass1.m.shape[1]
-    T = max_tasks or B
+    # ~1.5 reseed candidates/read is typical at 1-3% error; 2 per
+    # read keeps drops (and the resulting overflow retries) rare
+    T = max_tasks or 2 * B
     valid = jnp.arange(M1)[None, :] < pass1.cnt[:, None]
     cand = (valid
             & ((pass1.n + 1 - pass1.m) >= split_len)
             & (pass1.s <= split_width))
     flat = cand.reshape(B * M1)
     order, t_valid = compact_indices(flat, T)
-    overflow = flat.sum() > T
+    # per-read: did the task budget T drop any of THIS read's reseed
+    # tasks? (consumed by the collectors: affected reads get their
+    # SMEM count saturated so the overflow-retry machinery re-runs
+    # them at larger shapes — work is never silently dropped,
+    # src/bwamem.cpp:740-763 reseeds unconditionally)
+    rank = jnp.cumsum(flat, dtype=jnp.int32) - 1
+    dropped = flat & (rank >= T)
+    overflow = jnp.any(dropped.reshape(B, M1), axis=1)
     t_read = (order // M1).astype(jnp.int32)
     t_slot = order % M1
     t_m = pass1.m[t_read, t_slot]
@@ -504,7 +513,7 @@ def collect_smems_device(fmi: DeviceFMIndex, codes, lens, *,
     p1 = _emit_compact(mask, pcol * jnp.ones((B, 1), jnp.int32),
                        E - 1, ext["k"], ext["l"], ext["s"],
                        SmemBuf.empty(B, M, fmi.pos_dtype))
-    p2, _overflow = smems_reseed(fmi, codes, lens, p1, split_len,
+    p2, reseed_of = smems_reseed(fmi, codes, lens, p1, split_len,
                                  split_width, min_seed_len, M, fma=fma,
                                  n_pos=P)
     parts = [p1, p2]
@@ -522,5 +531,8 @@ def collect_smems_device(fmi: DeviceFMIndex, codes, lens, *,
     key = jnp.where(valid, key, jnp.int32(2 ** 30))
     order = jnp.argsort(key, axis=1)
     take = lambda arr: jnp.take_along_axis(arr, order, axis=1)
+    # reseed-task overflow -> saturate the count: the aligner's
+    # smem_of check flags the read for the larger-shape retry
+    cnt = jnp.where(reseed_of, combined.m.shape[1], combined.cnt)
     return SmemBuf(take(combined.m), take(combined.n), take(combined.k),
-                   take(combined.l), take(combined.s), combined.cnt)
+                   take(combined.l), take(combined.s), cnt)

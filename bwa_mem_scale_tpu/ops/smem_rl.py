@@ -546,8 +546,12 @@ def collect_smems_rl(fmi: DeviceFMIndex, codes, lens, *,
             & (p1.s <= split_width))
     from .smem import compact_indices
     flat = cand.reshape(B * M1)
-    T = B
+    T = 2 * B          # see smems_reseed: ~1.5 tasks/read typical
     order, t_valid = compact_indices(flat, T)
+    # per-read reseed-task overflow (see smems_reseed): saturate the
+    # final count so the aligner's smem_of retry machinery fires
+    rank = jnp.cumsum(flat, dtype=jnp.int32) - 1
+    reseed_of = jnp.any((flat & (rank >= T)).reshape(B, M1), axis=1)
     t_read = (order // M1).astype(jnp.int32)
     t_slot = order % M1
     t_x = ((p1.n[t_read, t_slot] + 1 + p1.m[t_read, t_slot]) >> 1)
@@ -579,5 +583,6 @@ def collect_smems_rl(fmi: DeviceFMIndex, codes, lens, *,
     key = jnp.where(valid, key, jnp.int32(2 ** 30))
     order = jnp.argsort(key, axis=1)
     take = lambda arr: jnp.take_along_axis(arr, order, axis=1)
+    cnt = jnp.where(reseed_of, combined.m.shape[1], combined.cnt)
     return SmemBuf(take(combined.m), take(combined.n), take(combined.k),
-                   take(combined.l), take(combined.s), combined.cnt)
+                   take(combined.l), take(combined.s), cnt)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 import sys
 from functools import partial
 from typing import List, Optional
@@ -278,9 +279,9 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
     q_l = jnp.take_along_axis(
         p_codes, jnp.clip(p_qbeg[:, None] - 1 - q_iota, 0, L - 1),
         axis=1)
+    from ..ops.occ import ref_byte
     tl_len = jnp.where(p_valid, p_rbeg - p_rm0, 0).astype(jnp.int32)
-    t_l = fmi.ref[jnp.clip(p_rbeg[:, None] - 1 - t_iota, 0,
-                           l_pac2 - 1)].astype(jnp.int32)
+    t_l = ref_byte(fmi.ref, p_rbeg[:, None] - 1 - t_iota, dbns.l_pac)
 
     # right: query suffix from qe, target ref[rbeg+len : rm1]
     p_qe = p_qbeg + p_len
@@ -289,8 +290,7 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
         p_codes, jnp.clip(p_qe[:, None] + q_iota, 0, L - 1), axis=1)
     re0 = p_rbeg + p_len.astype(jnp.int64)
     tr_len = jnp.where(p_valid, p_rm1 - re0, 0).astype(jnp.int32)
-    t_r = fmi.ref[jnp.clip(re0[:, None] + t_iota, 0,
-                           l_pac2 - 1)].astype(jnp.int32)
+    t_r = ref_byte(fmi.ref, re0[:, None] + t_iota, dbns.l_pac)
 
     do_left = p_valid & (p_qbeg > 0)
     do_right = p_valid & (p_qe < p_lens)
@@ -437,13 +437,26 @@ class TpuAligner:
         self.emf_hist = collections.Counter()
         self.pes = None     # fixed insert-size override (-I)
         if emf is not None:
-            from ..ops.emf import DeviceEmf, emf_lookup
-            self.demf = DeviceEmf.from_host(emf)
-            if mesh is not None:
-                from ..parallel.mesh import sharded_emf_fn
-                self._jit_emf = sharded_emf_fn(mesh)
+            # HBM residency gate: a genome-scale EMF table (hg38 at
+            # 2^30 slots is ~22 GB) cannot live in one chip's HBM
+            # next to the FM index; the streaming driver probes it on
+            # HOST anyway (emf_lookup_host), so past the threshold we
+            # skip the device copy and dispatch_batch's device probe.
+            emf_bytes = (emf.loc.nbytes + emf.fp.nbytes
+                         + emf.cnt.nbytes + emf.fwless.nbytes)
+            if emf_bytes <= int(os.environ.get(
+                    "EMF_DEVICE_BYTES", 4 << 30)):
+                from ..ops.emf import DeviceEmf, emf_lookup
+                self.demf = DeviceEmf.from_host(emf)
+                if mesh is not None:
+                    from ..parallel.mesh import sharded_emf_fn
+                    self._jit_emf = sharded_emf_fn(mesh)
+                else:
+                    self._jit_emf = jax.jit(emf_lookup)
             else:
-                self._jit_emf = jax.jit(emf_lookup)
+                print(f"* EMF table ({emf_bytes / 1e9:.1f} GB) stays "
+                      f"host-resident (HBM budget); the streaming "
+                      f"driver probes it on host", file=sys.stderr)
         # fma is a jit argument, not a closure capture: captured arrays
         # become jaxpr constants and get shipped with every compile
         # request (oversized for GB-scale ladder tables).

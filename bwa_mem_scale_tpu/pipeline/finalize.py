@@ -212,9 +212,7 @@ class BatchFinalizer:
             nm, md = compute_nm_md(cigar, job.query, job.rseq, is_fw)
             a.NM = nm
             a.MD = md
-        pos_f, is_rev = bns.depos(np.int64(job.rb if is_fw else job.re - 1))
-        pos = int(pos_f)
-        a.is_rev = bool(is_rev)
+        pos, a.is_rev = bns.depos1(job.rb if is_fw else job.re - 1)
         if cigar:
             if cigar[0][1] == 2:
                 pos += cigar[0][0]
@@ -230,7 +228,7 @@ class BatchFinalizer:
             if clip3:
                 cigar = cigar + [(clip3, 3)]
         a.cigar = cigar
-        a.rid = int(bns.pos2rid(np.int64(pos)))
+        a.rid = bns.pos2rid1(pos)
         assert a.rid == ar.rid
         a.pos = pos - bns.anns[a.rid].offset
         a.score = ar.score

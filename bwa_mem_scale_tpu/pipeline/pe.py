@@ -122,8 +122,8 @@ def _fetch_seq(bns, ref_string, rb: int, mid: int, re: int
     """bns_fetch_seq: clamp [rb, re) to the contig of mid on mid's
     strand; returns (rb, re, rid)."""
     l_pac = bns.l_pac
-    pos_f, is_rev = bns.depos(np.int64(mid))
-    rid = int(bns.pos2rid(np.int64(pos_f)))
+    pos_f, is_rev = bns.depos1(mid)
+    rid = bns.pos2rid1(pos_f)
     off = bns.anns[rid].offset
     end = off + bns.anns[rid].length
     if is_rev:

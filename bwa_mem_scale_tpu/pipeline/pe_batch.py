@@ -49,9 +49,8 @@ class AlnBatcher:
         a.sub = max(ar.sub, ar.csub)
         a.is_alt = ar.is_alt
         a.alt_sc = ar.alt_sc
-        pos_f, is_rev = bns.depos(np.int64(
-            ar.rb if ar.rb < bns.l_pac else ar.re - 1))
-        a.is_rev = bool(is_rev)
+        _, a.is_rev = bns.depos1(
+            ar.rb if ar.rb < bns.l_pac else ar.re - 1)
         q = self.queries[query_idx]
         job = self.fin.make_job(query_idx, q, ar)
         if job is None:      # degenerate region: unmapped record
@@ -161,15 +160,17 @@ def reg2sam_records_lazy(batcher: AlnBatcher, query_idx: int,
 
 def _fill_from_job(opt, bns, job, a: Aln, l_query: int) -> None:
     """CIGAR-dependent half of reg2aln (src/bwamem.cpp:2570-2624)."""
-    from ..ref.ksw import compute_nm_md
     ar = job.reg
     is_fw = job.rb < bns.l_pac
-    nm, md = compute_nm_md(job.cigar, job.query, job.rseq, is_fw)
-    a.NM = nm
-    a.MD = md
-    pos_f, is_rev = bns.depos(np.int64(job.rb if is_fw else job.re - 1))
-    pos = int(pos_f)
-    a.is_rev = bool(is_rev)
+    if job.nm >= 0:        # native path already computed NM/MD
+        a.NM = job.nm
+        a.MD = job.md
+    else:
+        from ..ref.ksw import compute_nm_md
+        nm, md = compute_nm_md(job.cigar, job.query, job.rseq, is_fw)
+        a.NM = nm
+        a.MD = md
+    pos, a.is_rev = bns.depos1(job.rb if is_fw else job.re - 1)
     cigar = job.cigar
     if cigar:
         if cigar[0][1] == 2:
@@ -186,5 +187,5 @@ def _fill_from_job(opt, bns, job, a: Aln, l_query: int) -> None:
         if clip3:
             cigar = cigar + [(clip3, 3)]
     a.cigar = cigar
-    a.rid = int(bns.pos2rid(np.int64(pos)))
+    a.rid = bns.pos2rid1(pos)
     a.pos = pos - bns.anns[a.rid].offset
