@@ -90,6 +90,18 @@ def _add_mem_opts(p: argparse.ArgumentParser):
     p.add_argument("--checkpoint", type=str, default=None,
                    help="sidecar file tracking emitted reads; rerun "
                         "with the same arguments resumes and appends")
+    p.add_argument("--num-hosts", type=int, default=1,
+                   help="multi-host mode: total hosts sharing the "
+                        "FASTQ stream (each aligns every Nth batch "
+                        "and writes its own SAM part; global read "
+                        "ids preserved so parts byte-match the "
+                        "single-host run)")
+    p.add_argument("--host-id", type=int, default=0,
+                   help="this host's rank in [0, num-hosts)")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="host:port for jax.distributed.initialize "
+                        "(optional; omit when each host runs its own "
+                        "local devices without cross-host collectives)")
 
 
 def _opts_from_args(args) -> MemOptions:
@@ -326,6 +338,29 @@ def cmd_mem(argv):
         # display_stats analogue, src/profiling.cpp:87)
         aligner.stage_profile_pending = True
 
+    host_shard = None
+    if args.num_hosts > 1:
+        if not (0 <= args.host_id < args.num_hosts):
+            raise SystemExit("--host-id must be in [0, num-hosts)")
+        if args.checkpoint:
+            raise SystemExit("--checkpoint is per-host-stream; not "
+                             "supported with --num-hosts")
+        if args.coordinator:
+            # cross-host device federation (per-host FASTQ sharding
+            # itself needs no collectives; this wires the mesh story
+            # for fleets whose devices span hosts, SURVEY section 5.8)
+            import jax
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_hosts,
+                process_id=args.host_id)
+            print(f"* jax.distributed: host {args.host_id}/"
+                  f"{args.num_hosts} via {args.coordinator}",
+                  file=sys.stderr)
+        host_shard = (args.num_hosts, args.host_id)
+        print(f"* multi-host shard: batches {args.host_id} mod "
+              f"{args.num_hosts}", file=sys.stderr)
+
     skip_reads = 0
     if args.checkpoint and args.output != "-":
         import json as _json
@@ -369,7 +404,8 @@ def cmd_mem(argv):
                             chunk_bp=args.chunk_bp, rg_id=rg_id,
                             n_workers=args.n_threads, paired=paired,
                             skip_reads=skip_reads,
-                            checkpoint_path=args.checkpoint)
+                            checkpoint_path=args.checkpoint,
+                            host_shard=host_shard)
     if out is not sys.stdout:
         out.close()
     PROFILER.report()

@@ -73,14 +73,38 @@ def run_alignment(aligner, fastq_paths: List[str], out,
                   batch_reads: int = 512, chunk_bp: Optional[int] = None,
                   rg_id: Optional[str] = None, n_workers: int = 1,
                   paired: bool = False, skip_reads: int = 0,
-                  checkpoint_path: Optional[str] = None) -> int:
+                  checkpoint_path: Optional[str] = None,
+                  host_shard: Optional[tuple] = None) -> int:
     """Stream-align FASTQ to SAM. With checkpoint_path, a sidecar
     JSON records how many input reads have been fully emitted after
     each processed batch (written atomically); a rerun resumes by
     skipping that many reads and appending. Records are always
     emitted in input order, so the count IS the resume point — an
     addition over the reference, whose recovery story is re-run
-    (SURVEY section 5.4)."""
+    (SURVEY section 5.4).
+
+    host_shard=(num_hosts, host_id) is the multi-host FASTQ-sharding
+    mode (SURVEY section 5.8): every host parses the full stream but
+    aligns only batches with index % num_hosts == host_id, writing
+    its own SAM part. Global read ordinals are preserved (the
+    hash_64 MAPQ tiebreaks see the same ids as a single-host run, so
+    part files byte-match the corresponding single-host records) —
+    the TPU-native analogue of the reference's multi-process runs
+    against one shm index store (src/bwa_shm.cpp), which likewise
+    emit one output per process. Requires a fixed batch_reads
+    (chunk_bp batching would make batch boundaries host-dependent)."""
+    if host_shard is not None:
+        n_hosts, host_id = host_shard
+        if chunk_bp is not None:
+            raise ValueError("host_shard requires fixed batch_reads, "
+                             "not chunk_bp batching")
+        if checkpoint_path is not None:
+            raise ValueError("checkpoint/resume is per-host-stream; "
+                             "not supported with host_shard")
+        if not (0 <= host_id < n_hosts):
+            raise ValueError(f"host_id {host_id} out of range")
+    else:
+        n_hosts, host_id = 1, 0
     q: "queue.Queue" = queue.Queue(maxsize=4)
     t = threading.Thread(target=_reader,
                          args=(fastq_paths, batch_reads, chunk_bp, q,
@@ -125,24 +149,34 @@ def run_alignment(aligner, fastq_paths: List[str], out,
     from .stream import SeStream
     stream = None
     reads_by_id = {}
+    holes = []   # skipped [lo, hi) id ranges (other hosts' batches)
 
     def emit_ready():
         nonlocal n_emitted
         wrote = False
-        for rid, records in stream.ready():
-            read = reads_by_id.pop(rid)
-            with PROFILER.phase("sam_write"):
-                for which in range(len(records)):
-                    out.write(aln_to_sam_line(opt, bns, read,
-                                              len(records), records,
-                                              which, rg_id=rg_id))
-            n_emitted += 1
-            wrote = True
+        while True:
+            drained = True
+            for rid, records in stream.ready():
+                read = reads_by_id.pop(rid)
+                with PROFILER.phase("sam_write"):
+                    for which in range(len(records)):
+                        out.write(aln_to_sam_line(opt, bns, read,
+                                                  len(records), records,
+                                                  which, rg_id=rg_id))
+                n_emitted += 1
+                wrote = True
+            # jump the emit cursor over another host's batch
+            if holes and stream.next_emit >= holes[0][0]:
+                stream.next_emit = max(stream.next_emit, holes.pop(0)[1])
+                drained = False
+            if drained:
+                break
         if wrote:
             out.flush()
             write_checkpoint()
 
     pe_pending = None   # (batch, fetched, id_offset) awaiting pe_post
+    batch_idx = -1
     while True:
         item = q.get()
         if item is None:
@@ -150,6 +184,12 @@ def run_alignment(aligner, fastq_paths: List[str], out,
         if isinstance(item, BaseException):
             raise item
         batch = item
+        batch_idx += 1
+        if batch_idx % n_hosts != host_id:   # another host's batch
+            holes.append((id_offset, id_offset + len(batch)))
+            n_reads += len(batch)
+            id_offset += len(batch)
+            continue
         codes, lens = batch.padded_codes()
         if paired:
             # Depth-1 execute queue: fetch the in-flight batch FIRST
