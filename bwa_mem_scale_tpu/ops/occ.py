@@ -159,14 +159,27 @@ def occ_all4(fmi: DeviceFMIndex, pp: jax.Array) -> jax.Array:
     return counts + pc
 
 
+def occ_all4_pair(fmi: DeviceFMIndex, pp0: jax.Array, pp1: jax.Array):
+    """occ_all4 at two same-shape position sets with ONE checkpoint-row
+    gather over the doubled lane set. The two addresses are known
+    together at the start of an extension tick, so batching them
+    halves the dependent-gather count of the seeding machines' hot
+    loop (the tick cost there is gather-latency-bound, not FLOP- or
+    byte-bound)."""
+    pp = jnp.concatenate([pp0.reshape(-1), pp1.reshape(-1)])
+    occ = occ_all4(fmi, pp)                      # [2N, 4]
+    n = pp0.size
+    return (occ[:n].reshape(*pp0.shape, 4),
+            occ[n:].reshape(*pp1.shape, 4))
+
+
 def backward_ext_all4(fmi: DeviceFMIndex, k, l, s):
     """Backward extension of intervals (k, l, s) by every base.
 
     Returns (k4, l4, s4) each [..., 4], matching the reference's
     backwardExt including sentinel correction (FMI_search.cpp:2029-2056).
     """
-    occ_sp = occ_all4(fmi, k)
-    occ_ep = occ_all4(fmi, k + s)
+    occ_sp, occ_ep = occ_all4_pair(fmi, k, k + s)
     k4 = fmi.count[:4] + occ_sp
     s4 = occ_ep - occ_sp
     sent = ((k <= fmi.sentinel_index)

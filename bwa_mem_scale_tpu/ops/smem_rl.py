@@ -194,7 +194,12 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
 
         # ----- INIT: build the 1-base interval at x (no ext needed);
         # lanes then fall through to FWD on the NEXT tick with j=x+1.
-        xa = codes[st["rd"], jnp.clip(st["x"], 0, L - 1)]
+        # one fused codes gather serves both columns the tick needs
+        # (x for INIT lanes, j for everyone else)
+        cols2 = jnp.concatenate([jnp.clip(st["x"], 0, L - 1),
+                                 jnp.clip(st["j"], 0, L - 1)])
+        codes2 = codes[jnp.concatenate([st["rd"], st["rd"]]), cols2]
+        xa = codes2[:T]
         x_ok = (st["x"] < lens_t) & (xa < 4)
         xac = jnp.clip(xa, 0, 3)
         ik = fmi.count[xac]
@@ -207,7 +212,7 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
         scan_i = jnp.where(st["rev"], st["cntA"] - 1 - st["p"], st["p"])
         pk, pl, ps, pn = at(st["A"], scan_i)
         pm = st["mA"]
-        a_j = codes[st["rd"], jnp.clip(st["j"], 0, L - 1)]
+        a_j = codes2[T:]
         ext_k = jnp.where(is_fwd, st["ck"], pk)
         ext_l = jnp.where(is_fwd, st["cl"], pl)
         ext_s = jnp.where(is_fwd, st["cs"], ps)
@@ -441,11 +446,14 @@ def seed_strategy_machine(fmi: DeviceFMIndex, codes, lens,
         is_fwd = phase == P_FWD
         lens_t = st["len"]
 
-        xa = codes[st["rd"], jnp.clip(st["x"], 0, L - 1)]
+        cols2 = jnp.concatenate([jnp.clip(st["x"], 0, L - 1),
+                                 jnp.clip(st["j"], 0, L - 1)])
+        codes2 = codes[jnp.concatenate([st["rd"], st["rd"]]), cols2]
+        xa = codes2[:T]
         x_ok = (st["x"] < lens_t) & (xa < 4)
         xac = jnp.clip(xa, 0, 3)
 
-        a_j = codes[st["rd"], jnp.clip(st["j"], 0, L - 1)]
+        a_j = codes2[T:]
         ac = jnp.clip(a_j, 0, 3)
         k4, l4, s4 = _ext_all4(fmi, st["ck"], st["cl"], st["cs"],
                                jnp.ones((T,), bool))
