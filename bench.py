@@ -38,6 +38,9 @@ FMA_K = int(os.environ.get("BENCH_FMA_K", 11))
 SEED_ENGINE = os.environ.get("BENCH_SEED_ENGINE", "readlane")
 # readlane worker lanes (backlog refill); 0/unset = one lane per read
 SEED_LANES = int(os.environ.get("BENCH_SEED_LANES", 0)) or None
+# 2-step (bigram) checkpoint table: FWD extensions consume two bases
+# per dependent gather (index/kstep.py); bit-identical output
+KSTEP = os.environ.get("BENCH_KSTEP", "1") != "0"
 # Prebuilt genome-scale index (BASELINE configs 2+): point
 # BENCH_INDEX_PREFIX at e.g. data/chr21s or data/hg38s to bench that
 # genome instead of the synthetic E. coli default. EMF/FMA tables are
@@ -77,6 +80,11 @@ def get_aligner():
         emf_path = f"{INDEX_PREFIX}.emf{READ_LEN}.npz"
         emf = (load_perfect_table(emf_path)
                if os.path.exists(emf_path) else None)
+        cp2 = None
+        cp2_path = f"{INDEX_PREFIX}.cp2.npz"
+        if KSTEP and os.path.exists(cp2_path):
+            from bwa_mem_scale_tpu.index.kstep import load_cp2
+            cp2 = load_cp2(cp2_path)
         cfg = PipelineConfig(max_coords=256, max_chains=32,
                              max_seeds_per_chain=16, max_regs=32,
                              max_pairs=4 * BATCH,
@@ -84,7 +92,7 @@ def get_aligner():
                              seed_lanes=SEED_LANES)
         return TpuAligner(idx, MemOptions(), cfg,
                           fma=None if SEED_ENGINE == "readlane" else fma,
-                          emf=emf)
+                          emf=emf, cp2=cp2)
 
     prefix = CACHE[: -len(".tpuidx.npz")]
     if os.path.exists(CACHE):
@@ -118,13 +126,27 @@ def get_aligner():
         print(f"* EMF table built in {time.time() - t0:.1f}s",
               file=sys.stderr)
 
+    cp2 = None
+    if KSTEP:
+        from bwa_mem_scale_tpu.index.kstep import (build_cp2, save_cp2,
+                                                   load_cp2)
+        cp2_path = f"{prefix}.cp2.npz"
+        if os.path.exists(cp2_path):
+            cp2 = load_cp2(cp2_path)
+        else:
+            t0 = time.time()
+            cp2 = build_cp2(idx)
+            save_cp2(cp2, prefix)
+            print(f"* 2-step table built in {time.time() - t0:.1f}s",
+                  file=sys.stderr)
+
     cfg = PipelineConfig(max_coords=256, max_chains=32,
                          max_seeds_per_chain=16, max_regs=32,
                          max_pairs=4 * BATCH, seed_engine=SEED_ENGINE,
                              seed_lanes=SEED_LANES)
     return TpuAligner(idx, MemOptions(), cfg,
                       fma=None if SEED_ENGINE == "readlane" else fma,
-                      emf=emf)
+                      emf=emf, cp2=cp2)
 
 
 def _probe_default_backend(timeout_s: int = 240) -> bool:

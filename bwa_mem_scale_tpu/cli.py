@@ -277,6 +277,7 @@ def cmd_mem(argv):
             fma = find_fma(args.prefix)
             emf = find_emf(args.prefix)
             ert = find_ert(args.prefix, idx)
+        cp2 = find_cp2(args.prefix)
         if args.ignore_alt:
             # -j: treat ALT contigs as primary, i.e. ignore the .alt
             # annotations recorded at index-build time
@@ -289,6 +290,9 @@ def cmd_mem(argv):
         if emf is not None:
             print(f"* EMF perfect-match table loaded "
                   f"(seed_len={emf.seed_len})", file=sys.stderr)
+        if cp2 is not None:
+            print("* 2-step (bigram) checkpoint table loaded",
+                  file=sys.stderr)
         if ert is not None and idx.sa_compx == 0:
             print(f"* ERT index loaded (K={ert.K}, "
                   f"{ert.n_nodes} nodes)", file=sys.stderr)
@@ -332,7 +336,7 @@ def cmd_mem(argv):
             print(f"* device mesh: {args.devices}x read-sharded",
                   file=sys.stderr)
         aligner = TpuAligner(idx, opt, cfg, fma=fma, emf=emf, ert=ert,
-                             mesh=mesh)
+                             mesh=mesh, cp2=cp2)
     if args.verbosity >= 4:
         # one-shot device stage table on the first batch (-v 4; the
         # display_stats analogue, src/profiling.cpp:87)
@@ -433,6 +437,21 @@ def cmd_smem_table(argv):
     return 0
 
 
+def find_cp2(prefix: str):
+    """Auto-load the 2-step (bigram) checkpoint table next to the
+    index, if built (`kstep-table`; see index/kstep.py)."""
+    import os as _os
+    from .index.kstep import load_cp2
+    path = f"{prefix}.cp2.npz"
+    if _os.path.exists(path):
+        try:
+            return load_cp2(path)
+        except Exception as e:
+            print(f"* WARNING: ignoring unreadable 2-step table "
+                  f"{path}: {e}", file=sys.stderr)
+    return None
+
+
 def find_fma(prefix: str):
     """Auto-load the FMA ladder table artifact next to the index, if
     built (the reference auto-loads .all_smem.* when SMEM_ACCEL is on,
@@ -446,6 +465,21 @@ def find_fma(prefix: str):
             print(f"* WARNING: ignoring unreadable FMA table {path}: "
                   f"{e}", file=sys.stderr)
     return None
+
+
+def cmd_kstep_table(argv):
+    p = argparse.ArgumentParser(prog="bwa-mem-scale-tpu kstep-table")
+    p.add_argument("prefix")
+    args = p.parse_args(argv)
+    from .index.artifacts import load_index
+    from .index.kstep import build_cp2, save_cp2
+    idx = load_index(args.prefix)
+    t0 = time.time()
+    cp2 = build_cp2(idx)
+    path = save_cp2(cp2, args.prefix)
+    print(f"* wrote {path} ({cp2.nbytes() / 1e6:.0f} MB) in "
+          f"{time.time() - t0:.1f}s", file=sys.stderr)
+    return 0
 
 
 def cmd_ert_index(argv):
@@ -552,7 +586,7 @@ def main(argv=None):
                           "cpu" if plat == "cpu" else plat + ",cpu")
     if not argv or argv[0] in ("-h", "--help"):
         print("usage: bwa-mem-scale-tpu "
-              "{index,mem,smem-table,perfect-index,ert-index,"
+              "{index,mem,smem-table,kstep-table,perfect-index,ert-index,"
               "load-shm,remove-shm,version} ...", file=sys.stderr)
         return 1
     cmd, rest = argv[0], argv[1:]
@@ -562,6 +596,8 @@ def main(argv=None):
         return cmd_mem(rest)
     if cmd == "smem-table":
         return cmd_smem_table(rest)
+    if cmd == "kstep-table":
+        return cmd_kstep_table(rest)
     if cmd == "perfect-index":
         return cmd_perfect_index(rest)
     if cmd == "ert-index":

@@ -53,6 +53,9 @@ class DeviceFMIndex:
     ref: jax.Array          # uint8 byte reference: fw+rc [2*l_pac],
                             # or forward-only [l_pac] (hg38 HBM plan;
                             # read through ref_byte)
+    cp2_fused: jax.Array    # optional [nb, 40] int32 bigram rows
+                            # (index/kstep.py) — 2-step extensions
+    count2: jax.Array       # optional [16] pos_dtype C2 table
     # static metadata
     sa_compx: int
     l_pac: int
@@ -65,7 +68,8 @@ class DeviceFMIndex:
     def tree_flatten(self):
         children = (self.count, self.cp_fused, self.cp_fused32,
                     self.cp_hi, self.sa_samples, self.sa_ms,
-                    self.sa_ls, self.sentinel_index, self.ref)
+                    self.sa_ls, self.sentinel_index, self.ref,
+                    self.cp2_fused, self.count2)
         aux = (self.sa_compx, self.l_pac, self.seq_len)
         return children, aux
 
@@ -75,11 +79,15 @@ class DeviceFMIndex:
 
     @classmethod
     def from_host(cls, idx: FMIndex, force_int64: bool = False,
-                  ref_fw_only: bool = None) -> "DeviceFMIndex":
+                  ref_fw_only: bool = None,
+                  cp2=None) -> "DeviceFMIndex":
         """ref_fw_only (default: on for int64-position genomes, where
         HBM is the binding constraint) uploads only the forward half
         of the reference; consumers read it through ops.occ.ref_byte,
-        which reconstructs the reverse-complement strand on the fly."""
+        which reconstructs the reverse-complement strand on the fly.
+
+        cp2: optional index.kstep.Cp2Table; when present, the seeding
+        sweeps extend two bases per checkpoint gather."""
         pos_dtype = (np.int64 if (force_int64 or not idx.pos_fits_int32)
                      else np.int32)
         cp_fused = cp_fused32 = cp_hi = None
@@ -111,6 +119,12 @@ class DeviceFMIndex:
             ref_fw_only = pos_dtype == np.int64
         ref = (idx.ref_string[: idx.bns.l_pac] if ref_fw_only
                else idx.ref_string)
+        cp2_fused = count2 = None
+        if cp2 is not None:
+            if pos_dtype != np.int32:
+                raise ValueError("2-step table is int32-path only")
+            cp2_fused = jnp.asarray(np.ascontiguousarray(cp2.fused))
+            count2 = jnp.asarray(cp2.c2, dtype=pos_dtype)
         return cls(
             count=jnp.asarray(idx.count, dtype=pos_dtype),
             cp_fused=cp_fused,
@@ -121,6 +135,8 @@ class DeviceFMIndex:
             sa_ls=sa_ls,
             sentinel_index=jnp.asarray(idx.sentinel_index, dtype=pos_dtype),
             ref=jnp.asarray(ref),
+            cp2_fused=cp2_fused,
+            count2=count2,
             sa_compx=idx.sa_compx,
             l_pac=idx.bns.l_pac,
             seq_len=idx.seq_len,
@@ -190,6 +206,73 @@ def backward_ext_all4(fmi: DeviceFMIndex, k, l, s):
     l0 = l1 + s4[..., 1]
     l4 = jnp.stack([l0, l1, l2, l3], axis=-1)
     return k4, l4, s4
+
+
+def _occ12_at(fmi: DeviceFMIndex, pp: jax.Array):
+    """(occ1 [..., 4], occ2 [..., 16]) at positions pp from the fused
+    bigram checkpoint row (index/kstep.py layout) — one gather."""
+    block = (pp >> CP_SHIFT).astype(jnp.int32)
+    y = (pp & CP_MASK).astype(jnp.uint32)
+    row = fmi.cp2_fused[block]                  # [..., 40] int32
+    top = (~(jnp.uint32(0xFFFFFFFF) >> y)).astype(jnp.uint32)
+    m2 = jax.lax.bitcast_convert_type(row[..., 16:32], jnp.uint32)
+    m1 = jax.lax.bitcast_convert_type(row[..., 36:40], jnp.uint32)
+    pc2 = jax.lax.population_count(m2 & top[..., None])
+    pc1 = jax.lax.population_count(m1 & top[..., None])
+    occ2 = row[..., :16] + pc2.astype(jnp.int32)
+    occ1 = row[..., 32:36] + pc1.astype(jnp.int32)
+    return occ1, occ2
+
+
+def _suffix_sum(v):
+    """suf[..., c] = sum over d > c of v[..., d]."""
+    rev = jnp.flip(v, axis=-1)
+    return jnp.flip(jnp.cumsum(rev, axis=-1), axis=-1) - v
+
+
+def backward_ext2(fmi: DeviceFMIndex, k, l, s, c1, c2):
+    """Backward extension by per-lane chars c1 then c2 with ONE
+    checkpoint-row gather pair (at k and k+s) — the 2-step FM index
+    (see index/kstep.py for the math and its verification). Returns
+    ((k1, l1, s1), (k2, l2, s2)): the intermediate single-step result
+    (needed by callers to resolve boundaries that land mid-stride)
+    and the 2-step result. Bit-identical to two backward_ext calls."""
+    pp = jnp.concatenate([k.reshape(-1), (k + s).reshape(-1)])
+    occ1_p, occ2_p = _occ12_at(fmi, pp)          # one doubled gather
+    nk = k.size
+    rs = lambda v, w: v.reshape(*k.shape, w)
+    occ1_k, occ1_e = rs(occ1_p[:nk], 4), rs(occ1_p[nk:], 4)
+    occ2_k, occ2_e = rs(occ2_p[:nk], 16), rs(occ2_p[nk:], 16)
+    take = lambda v, i: jnp.take_along_axis(
+        v, i[..., None].astype(jnp.int32), axis=-1)[..., 0]
+
+    s1_4 = occ1_e - occ1_k                       # [..., 4]
+    k1 = fmi.count[c1] + take(occ1_k, c1)
+    s1 = take(s1_4, c1)
+    sent0 = ((k <= fmi.sentinel_index)
+             & (k + s > fmi.sentinel_index)).astype(fmi.pos_dtype)
+    l1 = l + sent0 + take(_suffix_sum(s1_4), c1)
+
+    pair = c1 * 4 + c2
+    s2_16 = occ2_e - occ2_k                      # [..., 16]
+    k2 = fmi.count2[pair] + take(occ2_k, pair)
+    s2 = take(s2_16, pair)
+    sent1 = ((k1 <= fmi.sentinel_index)
+             & (k1 + s1 > fmi.sentinel_index)).astype(fmi.pos_dtype)
+    # s''(c) for the intermediate interval = occ2 diffs of (c1 -> c)
+    grp = c1[..., None] * 4 + jnp.arange(4, dtype=jnp.int32)
+    s2_grp = jnp.take_along_axis(s2_16, grp, axis=-1)   # [..., 4]
+    l2 = l1 + sent1 + take(_suffix_sum(s2_grp), c2)
+    return (k1, l1, s1), (k2, l2, s2)
+
+
+def forward_ext2(fmi: DeviceFMIndex, k, l, s, a, b):
+    """Two forward extensions (append a then b) in one gather pair:
+    backward extension on the swapped bi-interval by the complements
+    (FMI_search.cpp:1477-1484), results swapped back."""
+    (k1, l1, s1), (k2, l2, s2) = backward_ext2(
+        fmi, l, k, s, 3 - a, 3 - b)
+    return (l1, k1, s1), (l2, k2, s2)
 
 
 def backward_ext(fmi: DeviceFMIndex, k, l, s, a):

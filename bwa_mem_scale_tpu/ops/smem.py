@@ -233,11 +233,66 @@ def extend_all_positions(fmi: DeviceFMIndex, codes, lens, min_intv,
         return (keep, t + 1, E, k, l, s, fs, fk, fl, fss, ds,
                 f3s, f3E, f3k, f3l, f3v)
 
+    def body2(st):
+        # 2-step variant: one fused bigram-row gather extends every
+        # lane by TWO bases (ops/occ.backward_ext2; table from
+        # index/kstep.py). Lanes whose walk ends mid-stride retire
+        # with the embedded single-step result — all boundary
+        # bookkeeping (fail records, pass-3 fire, died flags) is
+        # evaluated at both depths, so outputs are bit-identical to
+        # the 1-step body (tests/test_kstep.py).
+        (act, t, E, k, l, s, fs, fk, fl, fss, ds,
+         f3s, f3E, f3k, f3l, f3v) = st
+        j = pcol + off + t
+        a = jax.lax.dynamic_slice(codes_pad,
+                                  (jnp.int32(0), jnp.int32(off) + t),
+                                  (B, P))
+        b = jax.lax.dynamic_slice(
+            codes_pad, (jnp.int32(0), jnp.int32(off) + t + 1), (B, P))
+        do1 = act & (j < lens[:, None]) & (a < 4)
+        from .occ import forward_ext2
+        (k1, l1, s1), (k2, l2, s2) = forward_ext2(
+            fmi, k, l, s, jnp.clip(a, 0, 3), jnp.clip(b, 0, 3))
+        sfail1 = do1 & (s1 < mi)
+        if stop_min_len > 0:
+            sfail1 = sfail1 & ((j - pcol + 1) >= stop_min_len)
+        keep1 = do1 & ~sfail1
+        do2 = keep1 & ((j + 1) < lens[:, None]) & (b < 4)
+        sfail2 = do2 & (s2 < mi)
+        if stop_min_len > 0:
+            sfail2 = sfail2 & ((j - pcol + 2) >= stop_min_len)
+        keep2 = do2 & ~sfail2
+
+        E = jnp.where(keep2, j + 2, jnp.where(keep1, j + 1, E))
+        k = jnp.where(keep2, k2, jnp.where(keep1, k1, k))
+        l = jnp.where(keep2, l2, jnp.where(keep1, l1, l))
+        s = jnp.where(keep2, s2, jnp.where(keep1, s1, s))
+        if want_fail:
+            hit = sfail1 | sfail2
+            fs = fs | hit
+            fk = jnp.where(sfail1, k1, jnp.where(sfail2, k2, fk))
+            fl = jnp.where(sfail1, l1, jnp.where(sfail2, l2, fl))
+            fss = jnp.where(sfail1, s1, jnp.where(sfail2, s2, fss))
+        if merge_p3:
+            ds = ds | sfail1 | sfail2
+            fire1 = (do1 & ~f3s & (s1 < p3_max_intv)
+                     & ((off + t + 1) >= p3_stop))
+            fire2 = (do2 & ~(f3s | fire1) & (s2 < p3_max_intv)
+                     & ((off + t + 2) >= p3_stop))
+            f3s = f3s | fire1 | fire2
+            f3E = jnp.where(fire1, j, jnp.where(fire2, j + 1, f3E))
+            f3k = jnp.where(fire1, k1, jnp.where(fire2, k2, f3k))
+            f3l = jnp.where(fire1, l1, jnp.where(fire2, l2, f3l))
+            f3v = jnp.where(fire1, s1, jnp.where(fire2, s2, f3v))
+        return (keep2, t + 2, E, k, l, s, fs, fk, fl, fss, ds,
+                f3s, f3E, f3k, f3l, f3v)
+
     st = (active, jnp.int32(1), E, k, l, s, fail_s, fail_k, fail_l,
           fail_ss, died_s, f3_s, f3_E, f3_k, f3_l, f3_ss)
+    use2 = getattr(fmi, "cp2_fused", None) is not None
     (_, _, E, k, l, s, fail_s, fail_k, fail_l, fail_ss, died_s,
      f3_s, f3_E, f3_k, f3_l, f3_ss) = \
-        jax.lax.while_loop(cond, body, st)
+        jax.lax.while_loop(cond, body2 if use2 else body, st)
     out = dict(E=E, k=k, l=l, s=s, valid=base_ok)
     if want_fail:
         out.update(fail_s=fail_s, fail_k=fail_k, fail_l=fail_l,

@@ -91,7 +91,12 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
     N = t_read.shape[0]              # backlog size (tasks)
     T = int(lanes) if lanes else N   # worker lanes
     B, L = codes.shape
+    codes = jnp.asarray(codes)
+    lens = jnp.asarray(lens)
+    t_read = jnp.asarray(t_read)
+    t_valid = jnp.asarray(t_valid)
     pos_dtype = fmi.pos_dtype
+    use2 = getattr(fmi, "cp2_fused", None) is not None
     tidx = jnp.arange(T)
     if out_rows is None:
         out_rows = t_read
@@ -168,6 +173,27 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
                      n=stk["n"].at[tidx, i].set(n, mode="drop")),
                 cnt + do.astype(jnp.int32))
 
+    def push3(stk, cnt, entries):
+        """Up to three ordered pushes per lane in ONE scatter per
+        stack column (the 2-step FWD tick can retire with a changed
+        interval at each depth plus the end-of-walk push)."""
+        idxs, cols = [], {f: [] for f in ("k", "l", "s", "n")}
+        c = cnt
+        for do, k, l, s, n in entries:
+            idxs.append(jnp.where(do, c, L))
+            cols["k"].append(k)
+            cols["l"].append(l)
+            cols["s"].append(s)
+            cols["n"].append(n)
+            c = c + do.astype(jnp.int32)
+        idx = jnp.stack(idxs, axis=-1)               # [T, 3]
+        stk = dict(
+            (f, stk[f].at[tidx[:, None], idx].set(
+                jnp.stack(cols[f], axis=-1).astype(stk[f].dtype),
+                mode="drop"))
+            for f in ("k", "l", "s", "n"))
+        return stk, c
+
     def at(stk, i):
         i = jnp.clip(i, 0, L - 1)
         if aos:
@@ -194,11 +220,15 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
 
         # ----- INIT: build the 1-base interval at x (no ext needed);
         # lanes then fall through to FWD on the NEXT tick with j=x+1.
-        # one fused codes gather serves both columns the tick needs
-        # (x for INIT lanes, j for everyone else)
-        cols2 = jnp.concatenate([jnp.clip(st["x"], 0, L - 1),
-                                 jnp.clip(st["j"], 0, L - 1)])
-        codes2 = codes[jnp.concatenate([st["rd"], st["rd"]]), cols2]
+        # one fused codes gather serves every column the tick needs
+        # (x for INIT lanes, j for everyone, j+1 for 2-step FWD)
+        ncols = 3 if use2 else 2
+        cols2 = [jnp.clip(st["x"], 0, L - 1),
+                 jnp.clip(st["j"], 0, L - 1)]
+        if use2:
+            cols2.append(jnp.clip(st["j"] + 1, 0, L - 1))
+        codes2 = codes[jnp.tile(st["rd"], ncols),
+                       jnp.concatenate(cols2)]
         xa = codes2[:T]
         x_ok = (st["x"] < lens_t) & (xa < 4)
         xac = jnp.clip(xa, 0, 3)
@@ -212,17 +242,37 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
         scan_i = jnp.where(st["rev"], st["cntA"] - 1 - st["p"], st["p"])
         pk, pl, ps, pn = at(st["A"], scan_i)
         pm = st["mA"]
-        a_j = codes2[T:]
+        a_j = codes2[T: 2 * T]
         ext_k = jnp.where(is_fwd, st["ck"], pk)
         ext_l = jnp.where(is_fwd, st["cl"], pl)
         ext_s = jnp.where(is_fwd, st["cs"], ps)
         ac = jnp.clip(a_j, 0, 3)
-        sel = jnp.where(is_fwd, 3 - ac, ac)[:, None]
-        k4, l4, s4 = _ext_all4(fmi, ext_k, ext_l, ext_s, is_fwd)
-        take = lambda v: jnp.take_along_axis(v, sel, axis=-1)[..., 0]
-        nk = jnp.where(is_fwd, take(l4), take(k4))
-        nl = jnp.where(is_fwd, take(k4), take(l4))
-        ns = take(s4)
+        sel1 = jnp.where(is_fwd, 3 - ac, ac)
+        if use2:
+            # 2-step tick: ONE fused bigram-row gather (ops/occ.py
+            # backward_ext2) serves the FWD lanes' two extensions AND
+            # the backward lanes' single step (the row embeds occ1).
+            # Backward lanes pass a dummy second char and read only
+            # the intermediate result.
+            b_j = codes2[2 * T:]
+            bc = jnp.clip(b_j, 0, 3)
+            sel2 = jnp.where(is_fwd, 3 - bc, jnp.int32(0))
+            kk = jnp.where(is_fwd, ext_l, ext_k)
+            ll = jnp.where(is_fwd, ext_k, ext_l)
+            from .occ import backward_ext2
+            (K1, L1, S1), (K2, L2, S2) = backward_ext2(
+                fmi, kk, ll, ext_s, sel1, sel2)
+            nk = jnp.where(is_fwd, L1, K1)
+            nl = jnp.where(is_fwd, K1, L1)
+            ns = S1
+            nk2, nl2, ns2 = L2, K2, S2   # only FWD lanes read these
+        else:
+            k4, l4, s4 = _ext_all4(fmi, ext_k, ext_l, ext_s, is_fwd)
+            take = lambda v: jnp.take_along_axis(
+                v, sel1[:, None], axis=-1)[..., 0]
+            nk = jnp.where(is_fwd, take(l4), take(k4))
+            nl = jnp.where(is_fwd, take(k4), take(l4))
+            ns = take(s4)
 
         out_b = st["out"]
         A, cntA = st["A"], st["cntA"]
@@ -235,25 +285,60 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
         s_changed = f_run & (ns != st["cs"])
         s_fail = f_run & (ns < mi)
         f_cont = f_run & ~s_fail
-        # push old interval when s changed (before the fail check)
-        A, cntA = push(A, cntA, s_changed, st["ck"], st["cl"],
-                       st["cs"], st["cn"])
-        # forward end: N/end-of-read (no ext applied) or s-fail
-        f_end = is_fwd & (~j_in | ~a_ok | s_fail)
-        # post-loop push: smem if s >= mi (old interval on any end)
-        A, cntA = push(A, cntA, f_end & (st["cs"] >= mi), st["ck"],
-                       st["cl"], st["cs"], st["cn"])
-        # all forward-phase A entries share m = x
-        mA = jnp.where(f_end, st["x"], st["mA"])
-        # next_x = j + 1 is set before the N check in the reference
-        nx = jnp.where(is_fwd & j_in, st["j"] + 1, st["nx"])
-        nx = jnp.where(s_fail, st["j"], nx)          # next_x = j
-        # continue forward
-        ck = jnp.where(f_cont, nk, st["ck"])
-        cl = jnp.where(f_cont, nl, st["cl"])
-        cs = jnp.where(f_cont, ns, st["cs"])
-        cn = jnp.where(f_cont, st["j"], st["cn"])
-        j = jnp.where(f_cont, st["j"] + 1, st["j"])
+        if not use2:
+            # push old interval when s changed (before the fail check)
+            A, cntA = push(A, cntA, s_changed, st["ck"], st["cl"],
+                           st["cs"], st["cn"])
+            # forward end: N/end-of-read (no ext applied) or s-fail
+            f_end = is_fwd & (~j_in | ~a_ok | s_fail)
+            # post-loop push: smem if s >= mi (old interval on any end)
+            A, cntA = push(A, cntA, f_end & (st["cs"] >= mi), st["ck"],
+                           st["cl"], st["cs"], st["cn"])
+            # all forward-phase A entries share m = x
+            mA = jnp.where(f_end, st["x"], st["mA"])
+            # next_x = j + 1 is set before the N check in the reference
+            nx = jnp.where(is_fwd & j_in, st["j"] + 1, st["nx"])
+            nx = jnp.where(s_fail, st["j"], nx)      # next_x = j
+            # continue forward
+            ck = jnp.where(f_cont, nk, st["ck"])
+            cl = jnp.where(f_cont, nl, st["cl"])
+            cs = jnp.where(f_cont, ns, st["cs"])
+            cn = jnp.where(f_cont, st["j"], st["cn"])
+            j = jnp.where(f_cont, st["j"] + 1, st["j"])
+        else:
+            # two single-step transitions folded into one tick; the
+            # bookkeeping below replays the 1-step machine's exact
+            # sequence at both depths (incl. its double-push quirk on
+            # an interval-size failure) — bit-identical output
+            # (tests/test_kstep.py::test_machine_2step*).
+            j2_in = (st["j"] + 1) < lens_t
+            b_ok = b_j < 4
+            r2 = f_cont & j2_in & b_ok
+            ch2 = r2 & (ns2 != ns)
+            fail2 = r2 & (ns2 < mi)
+            cont2 = r2 & ~fail2
+            f_end = is_fwd & (s_fail | ~j_in | ~a_ok
+                              | (f_cont & (~j2_in | ~b_ok | fail2)))
+            # end-of-walk interval: step-1's if step 1 continued
+            ek = jnp.where(f_cont, nk, st["ck"])
+            el = jnp.where(f_cont, nl, st["cl"])
+            es = jnp.where(f_cont, ns, st["cs"])
+            en = jnp.where(f_cont, st["j"], st["cn"])
+            A, cntA = push3(
+                A, cntA,
+                [(s_changed, st["ck"], st["cl"], st["cs"], st["cn"]),
+                 (ch2, nk, nl, ns, st["j"]),
+                 (f_end & (es >= mi), ek, el, es, en)])
+            mA = jnp.where(f_end, st["x"], st["mA"])
+            nx = jnp.where(is_fwd & j_in, st["j"] + 1, st["nx"])
+            nx = jnp.where(s_fail, st["j"], nx)
+            nx = jnp.where(f_cont & j2_in, st["j"] + 2, nx)
+            nx = jnp.where(fail2, st["j"] + 1, nx)
+            ck = jnp.where(cont2, nk2, ek)
+            cl = jnp.where(cont2, nl2, el)
+            cs = jnp.where(cont2, ns2, es)
+            cn = jnp.where(cont2, st["j"] + 1, en)
+            j = jnp.where(cont2, st["j"] + 2, st["j"])
 
         # after forward end -> enter backward at j = x - 1 with the
         # stack scanned top-down (the reference's prev.reverse())
@@ -418,6 +503,9 @@ def seed_strategy_machine(fmi: DeviceFMIndex, codes, lens,
     T = int(lanes) if lanes else B
     pos_dtype = fmi.pos_dtype
     tidx = jnp.arange(T)
+    codes = jnp.asarray(codes)
+    lens = jnp.asarray(lens)
+    use2 = getattr(fmi, "cp2_fused", None) is not None
     mx = jnp.asarray(max_intv, pos_dtype)
 
     rd0 = jnp.minimum(tidx.astype(jnp.int32), B)
@@ -446,40 +534,77 @@ def seed_strategy_machine(fmi: DeviceFMIndex, codes, lens,
         is_fwd = phase == P_FWD
         lens_t = st["len"]
 
-        cols2 = jnp.concatenate([jnp.clip(st["x"], 0, L - 1),
-                                 jnp.clip(st["j"], 0, L - 1)])
-        codes2 = codes[jnp.concatenate([st["rd"], st["rd"]]), cols2]
+        ncols = 3 if use2 else 2
+        cols2 = [jnp.clip(st["x"], 0, L - 1),
+                 jnp.clip(st["j"], 0, L - 1)]
+        if use2:
+            cols2.append(jnp.clip(st["j"] + 1, 0, L - 1))
+        codes2 = codes[jnp.tile(st["rd"], ncols),
+                       jnp.concatenate(cols2)]
         xa = codes2[:T]
         x_ok = (st["x"] < lens_t) & (xa < 4)
         xac = jnp.clip(xa, 0, 3)
 
-        a_j = codes2[T:]
+        a_j = codes2[T: 2 * T]
         ac = jnp.clip(a_j, 0, 3)
-        k4, l4, s4 = _ext_all4(fmi, st["ck"], st["cl"], st["cs"],
-                               jnp.ones((T,), bool))
-        sel = (3 - ac)[:, None]
-        take = lambda v: jnp.take_along_axis(v, sel, axis=-1)[..., 0]
-        nk, nl, ns = take(l4), take(k4), take(s4)
-
         j_in = st["j"] < lens_t
         a_ok = a_j < 4
-        f_run = is_fwd & j_in & a_ok
-        # seed hit: s dropped below max_intv at sufficient length
-        hit = f_run & (ns < mx) \
-            & ((st["j"] - st["x"] + 1) >= min_seed_len)
-        do_emit = hit & (ns > 0)
-        out = st["out"].emit_rows(do_emit, st["rd"], st["x"], st["j"],
-                                  nk, nl, ns)
-        f_end = is_fwd & (~j_in | ~a_ok | hit)
-        f_cont = f_run & ~hit
+        msl_at = lambda col: (col - st["x"] + 1) >= min_seed_len
+        if use2:
+            # forward-only 2-step (same contract as one_pos_machine's
+            # FWD section; at most one hit per tick since the second
+            # step only runs when the first missed)
+            b_j = codes2[2 * T:]
+            bc = jnp.clip(b_j, 0, 3)
+            from .occ import forward_ext2
+            (nk, nl, ns), (nk2, nl2, ns2) = forward_ext2(
+                fmi, st["ck"], st["cl"], st["cs"], ac, bc)
+            r1 = is_fwd & j_in & a_ok
+            hit1 = r1 & (ns < mx) & msl_at(st["j"])
+            cont1 = r1 & ~hit1
+            j2_in = (st["j"] + 1) < lens_t
+            b_ok = b_j < 4
+            r2 = cont1 & j2_in & b_ok
+            hit2 = r2 & (ns2 < mx) & msl_at(st["j"] + 1)
+            cont2 = r2 & ~hit2
+            do_emit = (hit1 & (ns > 0)) | (hit2 & (ns2 > 0))
+            out = st["out"].emit_rows(
+                do_emit, st["rd"], st["x"],
+                jnp.where(hit1, st["j"], st["j"] + 1),
+                jnp.where(hit1, nk, nk2), jnp.where(hit1, nl, nl2),
+                jnp.where(hit1, ns, ns2))
+            f_end = is_fwd & ~cont2
+            ck = jnp.where(cont2, nk2, st["ck"])
+            cl = jnp.where(cont2, nl2, st["cl"])
+            cs = jnp.where(cont2, ns2, st["cs"])
+            j = jnp.where(cont2, st["j"] + 2, st["j"])
+            nx = jnp.where(cont1,
+                           jnp.where(j2_in, st["j"] + 2, st["j"] + 1),
+                           jnp.where(j_in, st["j"] + 1, st["j"]))
+        else:
+            k4, l4, s4 = _ext_all4(fmi, st["ck"], st["cl"], st["cs"],
+                                   jnp.ones((T,), bool))
+            sel = (3 - ac)[:, None]
+            take = lambda v: jnp.take_along_axis(v, sel,
+                                                 axis=-1)[..., 0]
+            nk, nl, ns = take(l4), take(k4), take(s4)
 
-        ck = jnp.where(f_cont, nk, st["ck"])
-        cl = jnp.where(f_cont, nl, st["cl"])
-        cs = jnp.where(f_cont, ns, st["cs"])
-        j = jnp.where(f_cont, st["j"] + 1, st["j"])
+            f_run = is_fwd & j_in & a_ok
+            # seed hit: s dropped below max_intv at sufficient length
+            hit = f_run & (ns < mx) & msl_at(st["j"])
+            do_emit = hit & (ns > 0)
+            out = st["out"].emit_rows(do_emit, st["rd"], st["x"],
+                                      st["j"], nk, nl, ns)
+            f_end = is_fwd & (~j_in | ~a_ok | hit)
+            f_cont = f_run & ~hit
 
-        # next_x = j + 1 (set before the N check); restart or finish
-        nx = jnp.where(j_in, st["j"] + 1, st["j"])
+            ck = jnp.where(f_cont, nk, st["ck"])
+            cl = jnp.where(f_cont, nl, st["cl"])
+            cs = jnp.where(f_cont, ns, st["cs"])
+            j = jnp.where(f_cont, st["j"] + 1, st["j"])
+
+            # next_x = j + 1 (set before the N check)
+            nx = jnp.where(j_in, st["j"] + 1, st["j"])
         nx = jnp.where(is_init, st["x"] + 1, nx)
         x2 = jnp.where(f_end, nx, st["x"])
         fin_f = f_end & (x2 >= lens_t)

@@ -409,12 +409,12 @@ class TpuAligner:
 
     def __init__(self, idx: FMIndex, opt: Optional[MemOptions] = None,
                  cfg: Optional[PipelineConfig] = None, fma=None,
-                 emf=None, ert=None, mesh=None):
+                 emf=None, ert=None, mesh=None, cp2=None):
         self.idx = idx
         self.mesh = mesh            # jax.sharding.Mesh or None
         self.opt = opt or MemOptions()
         self.cfg = cfg or PipelineConfig()
-        self.fmi = DeviceFMIndex.from_host(idx)
+        self.fmi = DeviceFMIndex.from_host(idx, cp2=cp2)
         self.dbns = DeviceBns.from_host(idx.bns)
         self.dfma = (fma.to_device(self.fmi.pos_dtype)
                      if fma is not None else None)
