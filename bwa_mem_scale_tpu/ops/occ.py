@@ -230,6 +230,34 @@ def _suffix_sum(v):
     return jnp.flip(jnp.cumsum(rev, axis=-1), axis=-1) - v
 
 
+def _take_c(v, i):
+    return jnp.take_along_axis(
+        v, i[..., None].astype(jnp.int32), axis=-1)[..., 0]
+
+
+def _two_steps(fmi, occ1_k, occ1_e, occ2_k, occ2_e, k, l, s, c1, c2):
+    """2-step interval update from pre-gathered occ rows at (k, k+s)
+    (see backward_ext2)."""
+    s1_4 = occ1_e - occ1_k                       # [..., 4]
+    k1 = fmi.count[c1] + _take_c(occ1_k, c1)
+    s1 = _take_c(s1_4, c1)
+    sent0 = ((k <= fmi.sentinel_index)
+             & (k + s > fmi.sentinel_index)).astype(fmi.pos_dtype)
+    l1 = l + sent0 + _take_c(_suffix_sum(s1_4), c1)
+
+    pair = c1 * 4 + c2
+    s2_16 = occ2_e - occ2_k                      # [..., 16]
+    k2 = fmi.count2[pair] + _take_c(occ2_k, pair)
+    s2 = _take_c(s2_16, pair)
+    sent1 = ((k1 <= fmi.sentinel_index)
+             & (k1 + s1 > fmi.sentinel_index)).astype(fmi.pos_dtype)
+    # s''(c) for the intermediate interval = occ2 diffs of (c1 -> c)
+    grp = c1[..., None] * 4 + jnp.arange(4, dtype=jnp.int32)
+    s2_grp = jnp.take_along_axis(s2_16, grp, axis=-1)   # [..., 4]
+    l2 = l1 + sent1 + _take_c(_suffix_sum(s2_grp), c2)
+    return (k1, l1, s1), (k2, l2, s2)
+
+
 def backward_ext2(fmi: DeviceFMIndex, k, l, s, c1, c2):
     """Backward extension by per-lane chars c1 then c2 with ONE
     checkpoint-row gather pair (at k and k+s) — the 2-step FM index
@@ -241,29 +269,36 @@ def backward_ext2(fmi: DeviceFMIndex, k, l, s, c1, c2):
     occ1_p, occ2_p = _occ12_at(fmi, pp)          # one doubled gather
     nk = k.size
     rs = lambda v, w: v.reshape(*k.shape, w)
-    occ1_k, occ1_e = rs(occ1_p[:nk], 4), rs(occ1_p[nk:], 4)
-    occ2_k, occ2_e = rs(occ2_p[:nk], 16), rs(occ2_p[nk:], 16)
-    take = lambda v, i: jnp.take_along_axis(
-        v, i[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    return _two_steps(fmi, rs(occ1_p[:nk], 4), rs(occ1_p[nk:], 4),
+                      rs(occ2_p[:nk], 16), rs(occ2_p[nk:], 16),
+                      k, l, s, c1, c2)
 
-    s1_4 = occ1_e - occ1_k                       # [..., 4]
-    k1 = fmi.count[c1] + take(occ1_k, c1)
-    s1 = take(s1_4, c1)
-    sent0 = ((k <= fmi.sentinel_index)
-             & (k + s > fmi.sentinel_index)).astype(fmi.pos_dtype)
-    l1 = l + sent0 + take(_suffix_sum(s1_4), c1)
 
-    pair = c1 * 4 + c2
-    s2_16 = occ2_e - occ2_k                      # [..., 16]
-    k2 = fmi.count2[pair] + take(occ2_k, pair)
-    s2 = take(s2_16, pair)
-    sent1 = ((k1 <= fmi.sentinel_index)
-             & (k1 + s1 > fmi.sentinel_index)).astype(fmi.pos_dtype)
-    # s''(c) for the intermediate interval = occ2 diffs of (c1 -> c)
-    grp = c1[..., None] * 4 + jnp.arange(4, dtype=jnp.int32)
-    s2_grp = jnp.take_along_axis(s2_16, grp, axis=-1)   # [..., 4]
-    l2 = l1 + sent1 + take(_suffix_sum(s2_grp), c2)
-    return (k1, l1, s1), (k2, l2, s2)
+def backward_ext2_and_1(fmi: DeviceFMIndex, k, l, s, c1, c2,
+                        kB, lB, sB, cB):
+    """backward_ext2 of (k, l, s) by (c1, c2) PLUS one single-step
+    backward extension of a second same-shape interval (kB, lB, sB)
+    by cB — all four checkpoint addresses in ONE fused gather. Lets
+    the seeding machine's tick extend the forward walk two bases AND
+    a second backward-tail stack entry at no extra gather depth."""
+    pp = jnp.concatenate([k.reshape(-1), (k + s).reshape(-1),
+                          kB.reshape(-1), (kB + sB).reshape(-1)])
+    occ1_p, occ2_p = _occ12_at(fmi, pp)
+    n = k.size
+    rs = lambda v, w: v.reshape(*k.shape, w)
+    a = _two_steps(fmi,
+                   rs(occ1_p[:n], 4), rs(occ1_p[n:2 * n], 4),
+                   rs(occ2_p[:n], 16), rs(occ2_p[n:2 * n], 16),
+                   k, l, s, c1, c2)
+    o1kB = rs(occ1_p[2 * n:3 * n], 4)
+    o1eB = rs(occ1_p[3 * n:], 4)
+    s1B_4 = o1eB - o1kB
+    kb = fmi.count[cB] + _take_c(o1kB, cB)
+    sb = _take_c(s1B_4, cB)
+    sentB = ((kB <= fmi.sentinel_index)
+             & (kB + sB > fmi.sentinel_index)).astype(fmi.pos_dtype)
+    lb = lB + sentB + _take_c(_suffix_sum(s1B_4), cB)
+    return a + ((kb, lb, sb),)
 
 
 def forward_ext2(fmi: DeviceFMIndex, k, l, s, a, b):

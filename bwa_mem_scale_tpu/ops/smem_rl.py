@@ -160,6 +160,9 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
     if with_ticks:
         st0["done_at"] = jnp.where(live0, jnp.int32(-1),
                                    jnp.zeros((T,), jnp.int32))
+        # lane-ticks spent per phase (INIT/FWD/BSCAN/BTAIL/DONE) —
+        # the planning signal for which phase to attack next
+        st0["phase_ticks"] = jnp.zeros((5,), jnp.int64)
 
     def push(stk, cnt, do, k, l, s, n):
         i = jnp.where(do, cnt, L)
@@ -238,9 +241,23 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
 
         # ----- pick the extension operands per lane -----
         # FWD: extend cur forward by a=q[j]; BSCAN/BTAIL: extend
-        # prev[scan(p)] backward by a=q[j].
+        # prev[scan(p)] backward by a=q[j]. With the bigram table the
+        # BTAIL lanes also fetch/extend entry p+1 in the same tick
+        # (one fused stack gather, one fused checkpoint gather).
         scan_i = jnp.where(st["rev"], st["cntA"] - 1 - st["p"], st["p"])
-        pk, pl, ps, pn = at(st["A"], scan_i)
+        if use2:
+            scan_i2 = jnp.where(st["rev"], st["cntA"] - 2 - st["p"],
+                                st["p"] + 1)
+            ii = jnp.concatenate([jnp.clip(scan_i, 0, L - 1),
+                                  jnp.clip(scan_i2, 0, L - 1)])
+            tt = jnp.tile(tidx, 2)
+            pr = {f: st["A"][f][tt, ii] for f in ("k", "l", "s", "n")}
+            pk, pl, ps, pn = (pr["k"][:T], pr["l"][:T], pr["s"][:T],
+                              pr["n"][:T])
+            pk2, pl2, ps2, pn2 = (pr["k"][T:], pr["l"][T:],
+                                  pr["s"][T:], pr["n"][T:])
+        else:
+            pk, pl, ps, pn = at(st["A"], scan_i)
         pm = st["mA"]
         a_j = codes2[T: 2 * T]
         ext_k = jnp.where(is_fwd, st["ck"], pk)
@@ -259,9 +276,10 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
             sel2 = jnp.where(is_fwd, 3 - bc, jnp.int32(0))
             kk = jnp.where(is_fwd, ext_l, ext_k)
             ll = jnp.where(is_fwd, ext_k, ext_l)
-            from .occ import backward_ext2
-            (K1, L1, S1), (K2, L2, S2) = backward_ext2(
-                fmi, kk, ll, ext_s, sel1, sel2)
+            from .occ import backward_ext2_and_1
+            ((K1, L1, S1), (K2, L2, S2),
+             (nkB, nlB, nsB)) = backward_ext2_and_1(
+                fmi, kk, ll, ext_s, sel1, sel2, pk2, pl2, ps2, ac)
             nk = jnp.where(is_fwd, L1, K1)
             nl = jnp.where(is_fwd, K1, L1)
             ns = S1
@@ -369,15 +387,37 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
         # long enough (then switch to the tail)
         die = bs_run & (ns < mi)
         emit_sc = die & ((pn - pm + 1) >= min_seed_len)
-        # emit0 and emit_sc are mutually exclusive (b_dead vs bs_run)
-        # and emit the same scan entry -> one scatter for both
-        out_b = emit(out_b, emit0 | emit_sc, st["row"], pm, pn,
-                     pk, pl, ps)
         keep_sc = bs_run & ~die & (ns != st["curr_s"])
         hit = emit_sc | keep_sc
-        kept = kept | hit
-        # advance: on hit -> TAIL from p+1; else next scan entry
-        phase2 = jnp.where(hit, P_BTAIL, phase2)
+        if use2:
+            # entry p+1, same tick: a tail entry if p hit, else the
+            # scan continues into it (first-hit-break order preserved)
+            nb_ok = (st["p"] + 1) < st["cntA"]
+            cont_scan = bs_run & ~hit & nb_ok
+            die2 = cont_scan & (nsB < mi)
+            emit_sc2 = die2 & ((pn2 - pm + 1) >= min_seed_len)
+            keep_sc2 = cont_scan & ~die2 & (nsB != st["curr_s"])
+            hit2 = emit_sc2 | keep_sc2
+            # scan entry p hit -> p+1 opens the tail in the same tick
+            cs_mid_s = jnp.where(keep_sc, ns, st["curr_s"])
+            keep_tl2s = (bs_run & hit & nb_ok & (nsB >= mi)
+                         & (nsB != cs_mid_s))
+        else:
+            hit2 = jnp.zeros_like(hit)
+            emit_sc2 = keep_sc2 = keep_tl2s = hit2
+        # emit0/emit_sc/emit_sc2 are mutually exclusive -> one scatter
+        if use2:
+            e2 = emit_sc2
+            out_b = emit(out_b, emit0 | emit_sc | e2, st["row"], pm,
+                         jnp.where(e2, pn2, pn),
+                         jnp.where(e2, pk2, pk),
+                         jnp.where(e2, pl2, pl),
+                         jnp.where(e2, ps2, ps))
+        else:
+            out_b = emit(out_b, emit0 | emit_sc, st["row"], pm, pn,
+                         pk, pl, ps)
+        kept = kept | hit | hit2
+        phase2 = jnp.where(hit | hit2, P_BTAIL, phase2)
 
         # ================= BTAIL transition =================
         bt_run = is_bt
@@ -388,15 +428,42 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
         # BSCAN and BTAIL are mutually exclusive phases pushing the
         # same values -> one scatter for both
         keep_b = keep_sc | keep_tl
-        Bs, cntB = push(Bs, cntB, keep_b, nk, nl, ns, pn)
-        curr_s = jnp.where(keep_b, ns, curr_s)
+        if use2:
+            # second entry resolved in the same tick, against the
+            # (possibly just-updated) distinct-s tracker; three
+            # sources, identical values: tail entry p+1, scan
+            # continuation keep, post-hit first tail entry
+            cs_mid = jnp.where(keep_b, ns, st["curr_s"])
+            keep_tl2 = (bt_run & (st["p"] + 1 < st["cntA"])
+                        & (nsB >= mi) & (nsB != cs_mid))
+            keep2 = keep_tl2 | keep_sc2 | keep_tl2s
+            Bs, cntB = push3(
+                Bs, cntB,
+                [(keep_b, nk, nl, ns, pn),
+                 (keep2, nkB, nlB, nsB, pn2)])
+            curr_s = jnp.where(keep2, nsB,
+                               jnp.where(keep_b, ns, curr_s))
+        else:
+            Bs, cntB = push(Bs, cntB, keep_b, nk, nl, ns, pn)
+            curr_s = jnp.where(keep_b, ns, curr_s)
 
-        # common backward advance
+        # common backward advance (two entries/tick on the bigram
+        # path, except a scan whose own entry was the last)
         b_any = bs_run | bt_run
-        p = jnp.where(b_any, st["p"] + 1, p)
-        # scan exhausted without any hit -> round over with empty keep
-        scan_out = bs_run & ~hit & (st["p"] + 1 >= st["cntA"])
-        tail_out = bt_run & (st["p"] + 1 >= st["cntA"])
+        if use2:
+            badv = jnp.where(bt_run | (bs_run & nb_ok), 2, 1)
+        else:
+            badv = jnp.int32(1)
+        p = jnp.where(b_any, st["p"] + badv, p)
+        # round over: scan exhausted without any hit, tail consumed,
+        # or (bigram path) this tick's hit had no entries left for
+        # its tail
+        scan_out = bs_run & ~(hit | hit2) \
+            & (st["p"] + badv >= st["cntA"])
+        tail_out = bt_run & (st["p"] + badv >= st["cntA"])
+        if use2:
+            tail_out = tail_out | (bs_run & (hit | hit2)
+                                   & (st["p"] + badv >= st["cntA"]))
         round_over = scan_out | tail_out
 
         # round epilogue: prev <- curr, j -= 1, bottom-up scan. B keeps
@@ -480,12 +547,14 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
             st2["done_at"] = jnp.where(
                 (st["done_at"] < 0) & (phase2 == P_DONE),
                 st["tick"] + 1, st["done_at"])
+            st2["phase_ticks"] = st["phase_ticks"] + jnp.bincount(
+                phase, length=5).astype(jnp.int64)
         return st2
 
     stf = jax.lax.while_loop(cond, body, st0)
     ob = stf["out"]
     if with_ticks:
-        return ob, (stf["tick"], stf["done_at"])
+        return ob, (stf["tick"], stf["done_at"], stf["phase_ticks"])
     return ob
 
 
