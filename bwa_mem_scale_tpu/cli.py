@@ -409,7 +409,8 @@ def cmd_mem(argv):
                             n_workers=args.n_threads, paired=paired,
                             skip_reads=skip_reads,
                             checkpoint_path=args.checkpoint,
-                            host_shard=host_shard)
+                            host_shard=host_shard,
+                            verbosity=args.verbosity)
     if out is not sys.stdout:
         out.close()
     PROFILER.report()

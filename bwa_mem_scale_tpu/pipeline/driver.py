@@ -74,7 +74,8 @@ def run_alignment(aligner, fastq_paths: List[str], out,
                   rg_id: Optional[str] = None, n_workers: int = 1,
                   paired: bool = False, skip_reads: int = 0,
                   checkpoint_path: Optional[str] = None,
-                  host_shard: Optional[tuple] = None) -> int:
+                  host_shard: Optional[tuple] = None,
+                  verbosity: int = 2) -> int:
     """Stream-align FASTQ to SAM. With checkpoint_path, a sidecar
     JSON records how many input reads have been fully emitted after
     each processed batch (written atomically); a rerun resumes by
@@ -105,6 +106,8 @@ def run_alignment(aligner, fastq_paths: List[str], out,
             raise ValueError(f"host_id {host_id} out of range")
     else:
         n_hosts, host_id = 1, 0
+    import time as _time0
+    t_start = _time0.time()
     q: "queue.Queue" = queue.Queue(maxsize=4)
     t = threading.Thread(target=_reader,
                          args=(fastq_paths, batch_reads, chunk_bp, q,
@@ -221,6 +224,15 @@ def run_alignment(aligner, fastq_paths: List[str], out,
             emit_ready()
         n_reads += len(batch)
         id_offset += len(batch)
+        if verbosity >= 3:
+            # per-chunk progress, the reference's mem_process_seqs
+            # report (src/bwamem.cpp:1861-1870)
+            import time as _time
+            now = _time.time()
+            dt = now - t_start
+            print(f"[M::mem] processed {n_reads} reads "
+                  f"({dt:.1f} s, {n_reads / max(dt, 1e-9):.0f} "
+                  f"reads/s cumulative)", file=sys.stderr)
     if pe_pending is not None:
         b0, ph0, off0 = pe_pending
         with PROFILER.phase("align_batch"):
