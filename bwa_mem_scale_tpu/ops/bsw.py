@@ -251,7 +251,21 @@ def banded_swa_batch(qs, q_lens, ts, t_lens, h0, w: int,
     )
     # Note: i is per-pair but advances in lockstep; alive lanes with
     # shorter targets retire early via the (i < t_lens) mask.
-    stf = jax.lax.while_loop(cond, lambda s: body(s), st0)
+    #
+    # The row body is gather-free (pure VPU work), so on this
+    # platform its cost is dominated by per-iteration while_loop
+    # overhead, not math — process several target rows per iteration
+    # (a pure unroll: every row update is alive-masked, so extra
+    # sub-steps after a lane retires are no-ops).
+    import os as _os
+    unroll = max(int(_os.environ.get("BWATPU_BSW_UNROLL", 4)), 1)
+
+    def body_u(s):
+        for _ in range(unroll):
+            s = body(s)
+        return s
+
+    stf = jax.lax.while_loop(cond, body_u, st0)
 
     return BswBatchResult(score=stf.max_sc, qle=stf.max_j + 1,
                           tle=stf.max_i + 1, gtle=stf.max_ie + 1,

@@ -551,7 +551,19 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
                 phase, length=5).astype(jnp.int64)
         return st2
 
-    stf = jax.lax.while_loop(cond, body, st0)
+    # per-iteration unroll (chip A/B knob): the tick's gathers still
+    # serialize, but each while iteration also pays cond-reduction and
+    # state-threading overhead on this platform; DONE lanes no-op, so
+    # extra sub-ticks are safe.
+    import os as _os
+    _unroll = max(int(_os.environ.get("BWATPU_MACHINE_UNROLL", 1)), 1)
+
+    def _body_u(s):
+        for _ in range(_unroll):
+            s = body(s)
+        return s
+
+    stf = jax.lax.while_loop(cond, _body_u, st0)
     ob = stf["out"]
     if with_ticks:
         return ob, (stf["tick"], stf["done_at"], stf["phase_ticks"])
@@ -707,7 +719,19 @@ def seed_strategy_machine(fmi: DeviceFMIndex, codes, lens,
                     x=xb, j=j, ck=ck, cl=cl, cs=cs,
                     tick=st["tick"] + 1, out=out)
 
-    stf = jax.lax.while_loop(cond, body, st0)
+    # per-iteration unroll (chip A/B knob): the tick's gathers still
+    # serialize, but each while iteration also pays cond-reduction and
+    # state-threading overhead on this platform; DONE lanes no-op, so
+    # extra sub-ticks are safe.
+    import os as _os
+    _unroll = max(int(_os.environ.get("BWATPU_MACHINE_UNROLL", 1)), 1)
+
+    def _body_u(s):
+        for _ in range(_unroll):
+            s = body(s)
+        return s
+
+    stf = jax.lax.while_loop(cond, _body_u, st0)
     ob = stf["out"]
     if with_ticks:
         return ob, stf["tick"]
