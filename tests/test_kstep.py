@@ -113,6 +113,29 @@ def test_machine_2step_matches_1step(k2_setup, lanes):
     assert int(np.asarray(a.cnt).sum()) > 0
 
 
+def test_aligner_records_identical_with_cp2(k2_setup):
+    """Full pipeline (seed→chain→extend→finalize) record equality
+    with and without the bigram table, SE and PE."""
+    from bwa_mem_scale_tpu.config import MemOptions
+    from bwa_mem_scale_tpu.index.kstep import build_cp2
+    from bwa_mem_scale_tpu.pipeline.align import (TpuAligner,
+                                                  PipelineConfig)
+    idx, _, _ = k2_setup
+    cfg = PipelineConfig(max_coords=64, max_chains=8,
+                         max_seeds_per_chain=8, max_regs=8)
+    reads = sample_reads(idx.bns, 16, 48, seed=21, err_rate=0.03)
+    codes = np.stack([r[0] for r in reads]).astype(np.int32)
+    lens = np.full(16, 48, np.int32)
+    a1 = TpuAligner(idx, MemOptions(), cfg)
+    a2 = TpuAligner(idx, MemOptions(), cfg, cp2=build_cp2(idx))
+    r1 = a1.align_and_finalize(codes, lens)
+    r2 = a2.align_and_finalize(codes, lens)
+    for recs1, recs2 in zip(r1, r2):
+        assert len(recs1) == len(recs2)
+        for x, y in zip(recs1, recs2):
+            assert vars(x) == vars(y)
+
+
 @pytest.mark.parametrize("direction", ["backward", "forward"])
 def test_ext2_equals_two_ext1(k2_setup, direction):
     import jax.numpy as jnp

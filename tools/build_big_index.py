@@ -32,6 +32,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("fasta")
     ap.add_argument("-p", "--prefix", required=True)
+    ap.add_argument("-s", "--sa-compx", type=int, default=None,
+                    help="SA compression exponent (default: the "
+                         "build default; 0 keeps the full SA "
+                         "resident — single-gather SAL, the "
+                         "MEMSCALE memory-for-speed knob)")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -53,7 +58,9 @@ def main():
           flush=True)
 
     bwt, sentinel_index = build.bwt_from_sa(text, sa)
-    sa_samples = sa[:: 1 << build.DEFAULT_SA_COMPX].astype(np.int64)
+    compx = (build.DEFAULT_SA_COMPX if args.sa_compx is None
+             else args.sa_compx)
+    sa_samples = sa[:: 1 << compx].astype(np.int64)
     del sa
     t4 = time.time()
     print(f"bwt+samples: {t4-t3:.1f}s rss={rss_gb():.1f}G", flush=True)
@@ -71,7 +78,7 @@ def main():
     idx = FMIndex(
         seq_len=len(text) + 1, count=count, cp_count=cp_count,
         cp_mask=cp_mask, sa_samples=sa_samples,
-        sa_compx=build.DEFAULT_SA_COMPX, sentinel_index=sentinel_index,
+        sa_compx=compx, sentinel_index=sentinel_index,
         bns=bns, ref_string=text)
     path = save_index(idx, args.prefix)
     t6 = time.time()
