@@ -87,6 +87,15 @@ def test_sweep_2step_matches_1step(k2_setup, min_seed_len,
                                       np.asarray(getattr(b, f)),
                                       err_msg=f)
     assert int(np.asarray(a.cnt).sum()) > 0
+    # FMA fast-forward + 2-step body together (the sweep engine's
+    # production configuration)
+    from bwa_mem_scale_tpu.ops.fma import build_fma_table
+    fma = build_fma_table(fmi1, K=6).to_device(fmi1.pos_dtype)
+    c = collect_smems_device(fmi2, codes, lens, fma=fma, **kw)
+    for f in ("m", "n", "k", "l", "s", "cnt"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                      np.asarray(getattr(c, f)),
+                                      err_msg=f"fma+{f}")
 
 
 @pytest.mark.parametrize("lanes", [None, 7])
