@@ -2,6 +2,10 @@
 uninterrupted run's remaining records byte-for-byte (ids are global
 input ordinals, so hash tiebreaks match)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import io
 import json
 import os

@@ -6,6 +6,8 @@ import io
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from conftest import make_genome, sample_reads
 
 from bwa_mem_scale_tpu.config import MemOptions

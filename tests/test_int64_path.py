@@ -12,6 +12,8 @@ int32 run.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from bwa_mem_scale_tpu.config import MemOptions
 from bwa_mem_scale_tpu.ops.occ import DeviceFMIndex
 from bwa_mem_scale_tpu.pipeline.align import TpuAligner, PipelineConfig

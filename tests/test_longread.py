@@ -7,6 +7,8 @@ import io
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from bwa_mem_scale_tpu.config import MemOptions, needs_seed_sw_filter
 from bwa_mem_scale_tpu.cli import _opts_from_args, _add_mem_opts
 

@@ -8,6 +8,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from bwa_mem_scale_tpu.config import MemOptions
 from bwa_mem_scale_tpu.pipeline.align import (PipelineConfig,
                                               seed_chain_extend)

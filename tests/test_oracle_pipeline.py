@@ -1,5 +1,9 @@
 """End-to-end oracle pipeline: simulated reads must map back home."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 from bwa_mem_scale_tpu.config import MemOptions

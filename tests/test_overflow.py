@@ -12,6 +12,8 @@ roomy-capacity run.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from bwa_mem_scale_tpu.config import MemOptions
 from bwa_mem_scale_tpu.index.bntseq import BntSeq, Annotation
 from bwa_mem_scale_tpu.index.build import build_index

@@ -4,6 +4,8 @@ SAM record composition (reference: src/bwamem_pair.cpp)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from conftest import make_genome
 
 from bwa_mem_scale_tpu.config import MemOptions

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from bwa_mem_scale_tpu.config import MemOptions
 from bwa_mem_scale_tpu.ref.fm import FMOracle
 from bwa_mem_scale_tpu.ref.pipeline import align_batch_to_sam

@@ -4,6 +4,8 @@ the plain per-batch path record for record."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from conftest import make_genome, sample_reads
 
 from bwa_mem_scale_tpu.config import MemOptions
