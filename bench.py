@@ -187,10 +187,24 @@ def main():
                               seed=100 + i, err_rate=ERR)
                for i in range(N_BATCHES)]
 
-    # Warmup / compile.
+    # Warmup / compile. The bigram (2-step) path first compiles on
+    # real TPU hardware here; if it fails for any backend-specific
+    # reason, fall back to the 1-step index rather than losing the
+    # bench run.
+    global KSTEP
     t0 = time.time()
     codes, lens = batches[0]
-    recs = aligner.align_and_finalize(codes, lens)
+    try:
+        recs = aligner.align_and_finalize(codes, lens)
+    except Exception as e:
+        if not KSTEP:
+            raise
+        print(f"* WARNING: warmup failed with the 2-step table "
+              f"({type(e).__name__}: {e}); retrying without it",
+              file=sys.stderr)
+        KSTEP = False
+        aligner = get_aligner()
+        recs = aligner.align_and_finalize(codes, lens)
     print(f"* warmup (compile) {time.time() - t0:.1f}s", file=sys.stderr)
     n_mapped = sum(1 for r in recs if r and r[0].rid >= 0)
     print(f"* warmup mapped {n_mapped}/{BATCH}", file=sys.stderr)
