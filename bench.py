@@ -38,9 +38,12 @@ FMA_K = int(os.environ.get("BENCH_FMA_K", 11))
 SEED_ENGINE = os.environ.get("BENCH_SEED_ENGINE", "readlane")
 # readlane worker lanes (backlog refill); 0/unset = one lane per read
 SEED_LANES = int(os.environ.get("BENCH_SEED_LANES", 0)) or None
-# 2-step (bigram) checkpoint table: FWD extensions consume two bases
-# per dependent gather (index/kstep.py); bit-identical output
-KSTEP = os.environ.get("BENCH_KSTEP", "1") != "0"
+# k-step checkpoint table: FWD extensions consume K bases per
+# dependent gather (index/kstep.py); bit-identical output.
+# "0" = off, "1"/"2" = bigram (default), "3" = trigram (chip A/B).
+_KS = os.environ.get("BENCH_KSTEP", "2")
+KSTEP = _KS != "0"
+KSTEP_K = 3 if _KS == "3" else 2
 # Prebuilt genome-scale index (BASELINE configs 2+): point
 # BENCH_INDEX_PREFIX at e.g. data/chr21s or data/hg38s to bench that
 # genome instead of the synthetic E. coli default. EMF/FMA tables are
@@ -81,10 +84,13 @@ def get_aligner():
         emf = (load_perfect_table(emf_path)
                if os.path.exists(emf_path) else None)
         cp2 = None
-        cp2_path = f"{INDEX_PREFIX}.cp2.npz"
-        if KSTEP and os.path.exists(cp2_path):
+        if KSTEP:
             from bwa_mem_scale_tpu.index.kstep import load_cp2
-            cp2 = load_cp2(cp2_path)
+            for kk in (KSTEP_K, 2):
+                cp2_path = f"{INDEX_PREFIX}.cp{kk}.npz"
+                if os.path.exists(cp2_path):
+                    cp2 = load_cp2(cp2_path)
+                    break
         cfg = PipelineConfig(max_coords=256, max_chains=32,
                              max_seeds_per_chain=16, max_regs=32,
                              max_pairs=4 * BATCH,
@@ -130,15 +136,15 @@ def get_aligner():
     if KSTEP:
         from bwa_mem_scale_tpu.index.kstep import (build_cp2, save_cp2,
                                                    load_cp2)
-        cp2_path = f"{prefix}.cp2.npz"
+        cp2_path = f"{prefix}.cp{KSTEP_K}.npz"
         if os.path.exists(cp2_path):
             cp2 = load_cp2(cp2_path)
         else:
             t0 = time.time()
-            cp2 = build_cp2(idx)
+            cp2 = build_cp2(idx, K=KSTEP_K)
             save_cp2(cp2, prefix)
-            print(f"* 2-step table built in {time.time() - t0:.1f}s",
-                  file=sys.stderr)
+            print(f"* {KSTEP_K}-step table built in "
+                  f"{time.time() - t0:.1f}s", file=sys.stderr)
 
     cfg = PipelineConfig(max_coords=256, max_chains=32,
                          max_seeds_per_chain=16, max_regs=32,

@@ -291,8 +291,8 @@ def cmd_mem(argv):
             print(f"* EMF perfect-match table loaded "
                   f"(seed_len={emf.seed_len})", file=sys.stderr)
         if cp2 is not None:
-            print("* 2-step (bigram) checkpoint table loaded",
-                  file=sys.stderr)
+            print(f"* {cp2.K}-step ({'tri' if cp2.K == 3 else 'bi'}"
+                  f"gram) checkpoint table loaded", file=sys.stderr)
         if ert is not None and idx.sa_compx == 0:
             print(f"* ERT index loaded (K={ert.K}, "
                   f"{ert.n_nodes} nodes)", file=sys.stderr)
@@ -439,17 +439,18 @@ def cmd_smem_table(argv):
 
 
 def find_cp2(prefix: str):
-    """Auto-load the 2-step (bigram) checkpoint table next to the
-    index, if built (`kstep-table`; see index/kstep.py)."""
+    """Auto-load the k-step checkpoint table next to the index, if
+    built (`kstep-table`; trigram preferred; see index/kstep.py)."""
     import os as _os
     from .index.kstep import load_cp2
-    path = f"{prefix}.cp2.npz"
-    if _os.path.exists(path):
-        try:
-            return load_cp2(path)
-        except Exception as e:
-            print(f"* WARNING: ignoring unreadable 2-step table "
-                  f"{path}: {e}", file=sys.stderr)
+    for k in (3, 2):
+        path = f"{prefix}.cp{k}.npz"
+        if _os.path.exists(path):
+            try:
+                return load_cp2(path)
+            except Exception as e:
+                print(f"* WARNING: ignoring unreadable k-step table "
+                      f"{path}: {e}", file=sys.stderr)
     return None
 
 
@@ -471,12 +472,16 @@ def find_fma(prefix: str):
 def cmd_kstep_table(argv):
     p = argparse.ArgumentParser(prog="bwa-mem-scale-tpu kstep-table")
     p.add_argument("prefix")
+    p.add_argument("-k", type=int, default=2, choices=(2, 3),
+                   help="gram size: 2 (bigram, 5 B/position) or 3 "
+                        "(trigram, 21 B/position, FWD walks consume "
+                        "three bases per gather)")
     args = p.parse_args(argv)
     from .index.artifacts import load_index
     from .index.kstep import build_cp2, save_cp2
     idx = load_index(args.prefix)
     t0 = time.time()
-    cp2 = build_cp2(idx)
+    cp2 = build_cp2(idx, K=args.k)
     path = save_cp2(cp2, args.prefix)
     print(f"* wrote {path} ({cp2.nbytes() / 1e6:.0f} MB) in "
           f"{time.time() - t0:.1f}s", file=sys.stderr)

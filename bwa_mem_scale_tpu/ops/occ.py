@@ -53,9 +53,10 @@ class DeviceFMIndex:
     ref: jax.Array          # uint8 byte reference: fw+rc [2*l_pac],
                             # or forward-only [l_pac] (hg38 HBM plan;
                             # read through ref_byte)
-    cp2_fused: jax.Array    # optional [nb, 40] int32 bigram rows
-                            # (index/kstep.py) — 2-step extensions
+    cp2_fused: jax.Array    # optional [nb, 40|168] int32 k-gram rows
+                            # (index/kstep.py) — 2-/3-step extensions
     count2: jax.Array       # optional [16] pos_dtype C2 table
+    count3: jax.Array       # optional [64] pos_dtype C3 table (K=3)
     # static metadata
     sa_compx: int
     l_pac: int
@@ -69,7 +70,7 @@ class DeviceFMIndex:
         children = (self.count, self.cp_fused, self.cp_fused32,
                     self.cp_hi, self.sa_samples, self.sa_ms,
                     self.sa_ls, self.sentinel_index, self.ref,
-                    self.cp2_fused, self.count2)
+                    self.cp2_fused, self.count2, self.count3)
         aux = (self.sa_compx, self.l_pac, self.seq_len)
         return children, aux
 
@@ -119,12 +120,14 @@ class DeviceFMIndex:
             ref_fw_only = pos_dtype == np.int64
         ref = (idx.ref_string[: idx.bns.l_pac] if ref_fw_only
                else idx.ref_string)
-        cp2_fused = count2 = None
+        cp2_fused = count2 = count3 = None
         if cp2 is not None:
             if pos_dtype != np.int32:
-                raise ValueError("2-step table is int32-path only")
+                raise ValueError("k-step table is int32-path only")
             cp2_fused = jnp.asarray(np.ascontiguousarray(cp2.fused))
             count2 = jnp.asarray(cp2.c2, dtype=pos_dtype)
+            if cp2.c3 is not None:
+                count3 = jnp.asarray(cp2.c3, dtype=pos_dtype)
         return cls(
             count=jnp.asarray(idx.count, dtype=pos_dtype),
             cp_fused=cp_fused,
@@ -137,6 +140,7 @@ class DeviceFMIndex:
             ref=jnp.asarray(ref),
             cp2_fused=cp2_fused,
             count2=count2,
+            count3=count3,
             sa_compx=idx.sa_compx,
             l_pac=idx.bns.l_pac,
             seq_len=idx.seq_len,
@@ -208,20 +212,28 @@ def backward_ext_all4(fmi: DeviceFMIndex, k, l, s):
     return k4, l4, s4
 
 
-def _occ12_at(fmi: DeviceFMIndex, pp: jax.Array):
-    """(occ1 [..., 4], occ2 [..., 16]) at positions pp from the fused
-    bigram checkpoint row (index/kstep.py layout) — one gather."""
+def _occ12_at(fmi: DeviceFMIndex, pp: jax.Array, want3: bool = False):
+    """(occ1 [..., 4], occ2 [..., 16][, occ3 [..., 64]]) at positions
+    pp from the fused k-gram checkpoint row (index/kstep.py layouts:
+    [.., 40] for K=2, [.., 168] for K=3) — one gather."""
     block = (pp >> CP_SHIFT).astype(jnp.int32)
     y = (pp & CP_MASK).astype(jnp.uint32)
-    row = fmi.cp2_fused[block]                  # [..., 40] int32
+    row = fmi.cp2_fused[block]                  # [..., 40|168] int32
     top = (~(jnp.uint32(0xFFFFFFFF) >> y)).astype(jnp.uint32)
-    m2 = jax.lax.bitcast_convert_type(row[..., 16:32], jnp.uint32)
-    m1 = jax.lax.bitcast_convert_type(row[..., 36:40], jnp.uint32)
-    pc2 = jax.lax.population_count(m2 & top[..., None])
-    pc1 = jax.lax.population_count(m1 & top[..., None])
-    occ2 = row[..., :16] + pc2.astype(jnp.int32)
-    occ1 = row[..., 32:36] + pc1.astype(jnp.int32)
-    return occ1, occ2
+    off = int(row.shape[-1]) - 40               # 0 (K=2) | 128 (K=3)
+
+    def occ_part(c_lo, c_hi, m_lo, m_hi):
+        m = jax.lax.bitcast_convert_type(row[..., m_lo:m_hi],
+                                         jnp.uint32)
+        pc = jax.lax.population_count(m & top[..., None])
+        return row[..., c_lo:c_hi] + pc.astype(jnp.int32)
+
+    occ2 = occ_part(off, off + 16, off + 16, off + 32)
+    occ1 = occ_part(off + 32, off + 36, off + 36, off + 40)
+    if not want3:
+        return occ1, occ2
+    occ3 = occ_part(0, 64, 64, 128) if off else None
+    return occ1, occ2, occ3
 
 
 def _suffix_sum(v):
@@ -235,9 +247,11 @@ def _take_c(v, i):
         v, i[..., None].astype(jnp.int32), axis=-1)[..., 0]
 
 
-def _two_steps(fmi, occ1_k, occ1_e, occ2_k, occ2_e, k, l, s, c1, c2):
-    """2-step interval update from pre-gathered occ rows at (k, k+s)
-    (see backward_ext2)."""
+def _two_steps(fmi, occ1_k, occ1_e, occ2_k, occ2_e, k, l, s, c1, c2,
+               occ3_k=None, occ3_e=None, c3=None):
+    """2- (or 3-)step interval update from pre-gathered occ rows at
+    (k, k+s) (see backward_ext2); each deeper step follows the same
+    telescoping recipe one k-gram level up."""
     s1_4 = occ1_e - occ1_k                       # [..., 4]
     k1 = fmi.count[c1] + _take_c(occ1_k, c1)
     s1 = _take_c(s1_4, c1)
@@ -255,7 +269,19 @@ def _two_steps(fmi, occ1_k, occ1_e, occ2_k, occ2_e, k, l, s, c1, c2):
     grp = c1[..., None] * 4 + jnp.arange(4, dtype=jnp.int32)
     s2_grp = jnp.take_along_axis(s2_16, grp, axis=-1)   # [..., 4]
     l2 = l1 + sent1 + _take_c(_suffix_sum(s2_grp), c2)
-    return (k1, l1, s1), (k2, l2, s2)
+    if c3 is None:
+        return (k1, l1, s1), (k2, l2, s2)
+
+    tri = pair * 4 + c3
+    s3_64 = occ3_e - occ3_k                      # [..., 64]
+    k3 = fmi.count3[tri] + _take_c(occ3_k, tri)
+    s3 = _take_c(s3_64, tri)
+    sent2 = ((k2 <= fmi.sentinel_index)
+             & (k2 + s2 > fmi.sentinel_index)).astype(fmi.pos_dtype)
+    grp3 = pair[..., None] * 4 + jnp.arange(4, dtype=jnp.int32)
+    s3_grp = jnp.take_along_axis(s3_64, grp3, axis=-1)  # [..., 4]
+    l3 = l2 + sent2 + _take_c(_suffix_sum(s3_grp), c3)
+    return (k1, l1, s1), (k2, l2, s2), (k3, l3, s3)
 
 
 def backward_ext2(fmi: DeviceFMIndex, k, l, s, c1, c2):
@@ -274,22 +300,31 @@ def backward_ext2(fmi: DeviceFMIndex, k, l, s, c1, c2):
                       k, l, s, c1, c2)
 
 
-def backward_ext2_and_1(fmi: DeviceFMIndex, k, l, s, c1, c2,
-                        kB, lB, sB, cB):
-    """backward_ext2 of (k, l, s) by (c1, c2) PLUS one single-step
-    backward extension of a second same-shape interval (kB, lB, sB)
-    by cB — all four checkpoint addresses in ONE fused gather. Lets
-    the seeding machine's tick extend the forward walk two bases AND
-    a second backward-tail stack entry at no extra gather depth."""
+def backward_ext_steps_and_1(fmi: DeviceFMIndex, k, l, s, chars,
+                             kB, lB, sB, cB):
+    """K-step backward extension of (k, l, s) by chars[0..K-1]
+    (K = len(chars) = 2 or 3, 3 requires the trigram table) PLUS one
+    single-step backward extension of a second same-shape interval
+    (kB, lB, sB) by cB — all four checkpoint addresses in ONE fused
+    gather. Lets the seeding machine's tick extend the forward walk
+    K bases AND a second backward-tail stack entry at no extra
+    gather depth. Returns (step tuples..., (kb, lb, sb))."""
+    want3 = len(chars) == 3
     pp = jnp.concatenate([k.reshape(-1), (k + s).reshape(-1),
                           kB.reshape(-1), (kB + sB).reshape(-1)])
-    occ1_p, occ2_p = _occ12_at(fmi, pp)
+    occ = _occ12_at(fmi, pp, want3=want3)
+    occ1_p, occ2_p = occ[0], occ[1]
     n = k.size
     rs = lambda v, w: v.reshape(*k.shape, w)
-    a = _two_steps(fmi,
-                   rs(occ1_p[:n], 4), rs(occ1_p[n:2 * n], 4),
-                   rs(occ2_p[:n], 16), rs(occ2_p[n:2 * n], 16),
-                   k, l, s, c1, c2)
+    kw = {}
+    if want3:
+        occ3_p = occ[2]
+        kw = dict(occ3_k=rs(occ3_p[:n], 64),
+                  occ3_e=rs(occ3_p[n:2 * n], 64), c3=chars[2])
+    steps = _two_steps(fmi,
+                       rs(occ1_p[:n], 4), rs(occ1_p[n:2 * n], 4),
+                       rs(occ2_p[:n], 16), rs(occ2_p[n:2 * n], 16),
+                       k, l, s, chars[0], chars[1], **kw)
     o1kB = rs(occ1_p[2 * n:3 * n], 4)
     o1eB = rs(occ1_p[3 * n:], 4)
     s1B_4 = o1eB - o1kB
@@ -298,7 +333,14 @@ def backward_ext2_and_1(fmi: DeviceFMIndex, k, l, s, c1, c2,
     sentB = ((kB <= fmi.sentinel_index)
              & (kB + sB > fmi.sentinel_index)).astype(fmi.pos_dtype)
     lb = lB + sentB + _take_c(_suffix_sum(s1B_4), cB)
-    return a + ((kb, lb, sb),)
+    return steps + ((kb, lb, sb),)
+
+
+def backward_ext2_and_1(fmi: DeviceFMIndex, k, l, s, c1, c2,
+                        kB, lB, sB, cB):
+    """See backward_ext_steps_and_1 (2-step form)."""
+    return backward_ext_steps_and_1(fmi, k, l, s, (c1, c2),
+                                    kB, lB, sB, cB)
 
 
 def forward_ext2(fmi: DeviceFMIndex, k, l, s, a, b):
@@ -308,6 +350,27 @@ def forward_ext2(fmi: DeviceFMIndex, k, l, s, a, b):
     (k1, l1, s1), (k2, l2, s2) = backward_ext2(
         fmi, l, k, s, 3 - a, 3 - b)
     return (l1, k1, s1), (l2, k2, s2)
+
+
+def backward_ext3(fmi: DeviceFMIndex, k, l, s, c1, c2, c3):
+    """Three backward extensions from one gather pair (trigram
+    table); bit-identical to three chained backward_ext calls."""
+    pp = jnp.concatenate([k.reshape(-1), (k + s).reshape(-1)])
+    occ1_p, occ2_p, occ3_p = _occ12_at(fmi, pp, want3=True)
+    n = k.size
+    rs = lambda v, w: v.reshape(*k.shape, w)
+    return _two_steps(fmi, rs(occ1_p[:n], 4), rs(occ1_p[n:], 4),
+                      rs(occ2_p[:n], 16), rs(occ2_p[n:], 16),
+                      k, l, s, c1, c2,
+                      occ3_k=rs(occ3_p[:n], 64),
+                      occ3_e=rs(occ3_p[n:], 64), c3=c3)
+
+
+def forward_ext3(fmi: DeviceFMIndex, k, l, s, a, b, c):
+    """Three forward extensions via the swap/complement identity."""
+    t1, t2, t3 = backward_ext3(fmi, l, k, s, 3 - a, 3 - b, 3 - c)
+    sw = lambda t: (t[1], t[0], t[2])
+    return sw(t1), sw(t2), sw(t3)
 
 
 def backward_ext(fmi: DeviceFMIndex, k, l, s, a):

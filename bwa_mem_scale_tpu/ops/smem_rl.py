@@ -97,6 +97,8 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
     t_valid = jnp.asarray(t_valid)
     pos_dtype = fmi.pos_dtype
     use2 = getattr(fmi, "cp2_fused", None) is not None
+    ksteps = (3 if getattr(fmi, "count3", None) is not None
+              else 2) if use2 else 1
     tidx = jnp.arange(T)
     if out_rows is None:
         out_rows = t_read
@@ -224,12 +226,11 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
         # ----- INIT: build the 1-base interval at x (no ext needed);
         # lanes then fall through to FWD on the NEXT tick with j=x+1.
         # one fused codes gather serves every column the tick needs
-        # (x for INIT lanes, j for everyone, j+1 for 2-step FWD)
-        ncols = 3 if use2 else 2
-        cols2 = [jnp.clip(st["x"], 0, L - 1),
-                 jnp.clip(st["j"], 0, L - 1)]
-        if use2:
-            cols2.append(jnp.clip(st["j"] + 1, 0, L - 1))
+        # (x for INIT lanes, j for everyone, j+1.. for K-step FWD)
+        ncols = 1 + ksteps
+        cols2 = [jnp.clip(st["x"], 0, L - 1)]
+        for d in range(ksteps):
+            cols2.append(jnp.clip(st["j"] + d, 0, L - 1))
         codes2 = codes[jnp.tile(st["rd"], ncols),
                        jnp.concatenate(cols2)]
         xa = codes2[:T]
@@ -266,24 +267,29 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
         ac = jnp.clip(a_j, 0, 3)
         sel1 = jnp.where(is_fwd, 3 - ac, ac)
         if use2:
-            # 2-step tick: ONE fused bigram-row gather (ops/occ.py
-            # backward_ext2) serves the FWD lanes' two extensions AND
-            # the backward lanes' single step (the row embeds occ1).
-            # Backward lanes pass a dummy second char and read only
-            # the intermediate result.
-            b_j = codes2[2 * T:]
-            bc = jnp.clip(b_j, 0, 3)
-            sel2 = jnp.where(is_fwd, 3 - bc, jnp.int32(0))
+            # K-step tick: ONE fused k-gram-row gather (ops/occ.py
+            # backward_ext_steps_and_1) serves the FWD lanes' K
+            # extensions AND the backward lanes' single step (the row
+            # embeds occ1). Backward lanes pass dummy deeper chars
+            # and read only the first-step result.
+            step_cs = [codes2[(1 + d) * T: (2 + d) * T]
+                       for d in range(1, ksteps)]
+            sels = [sel1] + [
+                jnp.where(is_fwd, 3 - jnp.clip(cd, 0, 3), jnp.int32(0))
+                for cd in step_cs]
             kk = jnp.where(is_fwd, ext_l, ext_k)
             ll = jnp.where(is_fwd, ext_k, ext_l)
-            from .occ import backward_ext2_and_1
-            ((K1, L1, S1), (K2, L2, S2),
-             (nkB, nlB, nsB)) = backward_ext2_and_1(
-                fmi, kk, ll, ext_s, sel1, sel2, pk2, pl2, ps2, ac)
+            from .occ import backward_ext_steps_and_1
+            res = backward_ext_steps_and_1(
+                fmi, kk, ll, ext_s, tuple(sels), pk2, pl2, ps2, ac)
+            fsteps, (nkB, nlB, nsB) = res[:-1], res[-1]
+            # swap back for fwd lanes; step 1 is shared with backward
+            (K1, L1, S1) = fsteps[0]
             nk = jnp.where(is_fwd, L1, K1)
             nl = jnp.where(is_fwd, K1, L1)
             ns = S1
-            nk2, nl2, ns2 = L2, K2, S2   # only FWD lanes read these
+            # fwd-lane view of every step: (k, l, s) swapped
+            fw_steps = [(t[1], t[0], t[2]) for t in fsteps]
         else:
             k4, l4, s4 = _ext_all4(fmi, ext_k, ext_l, ext_s, is_fwd)
             take = lambda v: jnp.take_along_axis(
@@ -324,39 +330,42 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
             cn = jnp.where(f_cont, st["j"], st["cn"])
             j = jnp.where(f_cont, st["j"] + 1, st["j"])
         else:
-            # two single-step transitions folded into one tick; the
-            # bookkeeping below replays the 1-step machine's exact
-            # sequence at both depths (incl. its double-push quirk on
-            # an interval-size failure) — bit-identical output
-            # (tests/test_kstep.py::test_machine_2step*).
-            j2_in = (st["j"] + 1) < lens_t
-            b_ok = b_j < 4
-            r2 = f_cont & j2_in & b_ok
-            ch2 = r2 & (ns2 != ns)
-            fail2 = r2 & (ns2 < mi)
-            cont2 = r2 & ~fail2
-            f_end = is_fwd & (s_fail | ~j_in | ~a_ok
-                              | (f_cont & (~j2_in | ~b_ok | fail2)))
-            # end-of-walk interval: step-1's if step 1 continued
-            ek = jnp.where(f_cont, nk, st["ck"])
-            el = jnp.where(f_cont, nl, st["cl"])
-            es = jnp.where(f_cont, ns, st["cs"])
-            en = jnp.where(f_cont, st["j"], st["cn"])
-            A, cntA = push3(
-                A, cntA,
-                [(s_changed, st["ck"], st["cl"], st["cs"], st["cn"]),
-                 (ch2, nk, nl, ns, st["j"]),
-                 (f_end & (es >= mi), ek, el, es, en)])
+            # K single-step transitions folded into one tick; the
+            # fold replays the 1-step machine's exact sequence at
+            # every depth (incl. its double-push quirk on an
+            # interval-size failure) — bit-identical output
+            # (tests/test_kstep.py::test_machine_*step*).
+            prev_int = (st["ck"], st["cl"], st["cs"], st["cn"])
+            ek, el, es, en = prev_int    # end-of-walk interval
+            entries = []
+            nx = st["nx"]
+            gate = is_fwd                # may this depth run?
+            cont_d = is_fwd
+            for d in range(ksteps):
+                jd = st["j"] + d
+                cd = a_j if d == 0 else step_cs[d - 1]
+                run_d = gate & (jd < lens_t) & (cd < 4)
+                sk, sl, ss_ = fw_steps[d]
+                ch_d = run_d & (ss_ != prev_int[2])
+                fail_d = run_d & (ss_ < mi)
+                cont_d = run_d & ~fail_d
+                # push the superseded interval on s-change (before
+                # the fail check, as the 1-step machine does)
+                entries.append((ch_d,) + prev_int)
+                nx = jnp.where(gate & (jd < lens_t), jd + 1, nx)
+                nx = jnp.where(fail_d, jd, nx)
+                ek = jnp.where(cont_d, sk, ek)
+                el = jnp.where(cont_d, sl, el)
+                es = jnp.where(cont_d, ss_, es)
+                en = jnp.where(cont_d, jd, en)
+                prev_int = (sk, sl, ss_, jd)
+                gate = cont_d
+            f_end = is_fwd & ~cont_d
+            entries.append((f_end & (es >= mi), ek, el, es, en))
+            A, cntA = push3(A, cntA, entries)
             mA = jnp.where(f_end, st["x"], st["mA"])
-            nx = jnp.where(is_fwd & j_in, st["j"] + 1, st["nx"])
-            nx = jnp.where(s_fail, st["j"], nx)
-            nx = jnp.where(f_cont & j2_in, st["j"] + 2, nx)
-            nx = jnp.where(fail2, st["j"] + 1, nx)
-            ck = jnp.where(cont2, nk2, ek)
-            cl = jnp.where(cont2, nl2, el)
-            cs = jnp.where(cont2, ns2, es)
-            cn = jnp.where(cont2, st["j"] + 1, en)
-            j = jnp.where(cont2, st["j"] + 2, st["j"])
+            ck, cl, cs, cn = ek, el, es, en
+            j = jnp.where(cont_d, st["j"] + ksteps, st["j"])
 
         # after forward end -> enter backward at j = x - 1 with the
         # stack scanned top-down (the reference's prev.reverse())

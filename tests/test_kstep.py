@@ -20,12 +20,20 @@ from bwa_mem_scale_tpu.ops.occ import (DeviceFMIndex, backward_ext,
 def k2_setup(tmp_path_factory):
     bns = make_genome(9000, seed=13)
     idx = build_index(bns)
-    cp2 = build_cp2(idx)
-    path = save_cp2(cp2, str(tmp_path_factory.mktemp("k2") / "g"))
-    cp2 = load_cp2(path)
+    d = tmp_path_factory.mktemp("k2")
+    cp2 = load_cp2(save_cp2(build_cp2(idx), str(d / "g")))
     fmi1 = DeviceFMIndex.from_host(idx)
     fmi2 = DeviceFMIndex.from_host(idx, cp2=cp2)
     return idx, fmi1, fmi2
+
+
+@pytest.fixture(scope="module")
+def k3_setup(k2_setup, tmp_path_factory):
+    idx, fmi1, _ = k2_setup
+    d = tmp_path_factory.mktemp("k3")
+    cp3 = load_cp2(save_cp2(build_cp2(idx, K=3), str(d / "g")))
+    assert cp3.K == 3
+    return idx, fmi1, DeviceFMIndex.from_host(idx, cp2=cp3)
 
 
 def test_extract_bwt_roundtrip(k2_setup):
@@ -96,6 +104,63 @@ def test_sweep_2step_matches_1step(k2_setup, min_seed_len,
         np.testing.assert_array_equal(np.asarray(getattr(a, f)),
                                       np.asarray(getattr(c, f)),
                                       err_msg=f"fma+{f}")
+
+
+def test_ext3_equals_three_ext1(k3_setup):
+    """Trigram extension == three chained single steps, all 64 char
+    triples, over reachable and sentinel-crossing intervals."""
+    import jax.numpy as jnp
+    from bwa_mem_scale_tpu.ops.occ import backward_ext3
+    idx, fmi1, fmi3 = k3_setup
+    k, l, s = _random_intervals(idx, fmi1, 256, seed=23)
+    count = np.asarray(idx.count, np.int64)
+    k = np.concatenate([k, [0]])
+    l = np.concatenate([l, [0]])
+    s = np.concatenate([s, [idx.seq_len]])
+    n = len(k)
+    kj, lj, sj = jnp.asarray(k), jnp.asarray(l), jnp.asarray(s)
+    for c1v in range(4):
+        for c2v in range(4):
+            for c3v in range(4):
+                cs = [jnp.full((n,), v, jnp.int32)
+                      for v in (c1v, c2v, c3v)]
+                m1 = backward_ext(fmi1, kj, lj, sj, cs[0])
+                m2 = backward_ext(fmi1, *m1, cs[1])
+                m3 = backward_ext(fmi1, *m2, cs[2])
+                t1, t2, t3 = backward_ext3(fmi3, kj, lj, sj, *cs)
+                for got, want, nm, aliveref in (
+                        (t1, m1, "1", s > 0),
+                        (t2, m2, "2", np.asarray(m1[2]) > 0),
+                        (t3, m3, "3", np.asarray(m2[2]) > 0)):
+                    alive = aliveref
+                    for g, w, f in zip(got, want, "kls"):
+                        np.testing.assert_array_equal(
+                            np.asarray(g)[alive], np.asarray(w)[alive],
+                            err_msg=f"step{nm} {f} "
+                                    f"{c1v}{c2v}{c3v}")
+
+
+@pytest.mark.parametrize("lanes", [None, 7])
+def test_machine_3step_matches_1step(k3_setup, lanes):
+    """The readlane machine with the trigram table: FWD consumes
+    three bases per tick; output must be bit-identical."""
+    from bwa_mem_scale_tpu.ops.smem_rl import collect_smems_rl
+    idx, fmi1, fmi3 = k3_setup
+    reads = sample_reads(idx.bns, 24, 48, seed=16, err_rate=0.05)
+    codes = np.stack([r[0] for r in reads]).astype(np.int32)
+    rng = np.random.RandomState(18)
+    codes[rng.rand(*codes.shape) < 0.01] = 4
+    lens = np.full(24, 48, dtype=np.int32)
+    lens[::5] = 48 - rng.randint(0, 9)
+    kw = dict(min_seed_len=10, split_len=15, split_width=10,
+              max_mem_intv=20, max_out=48, lanes=lanes)
+    a = collect_smems_rl(fmi1, codes, lens, **kw)
+    b = collect_smems_rl(fmi3, codes, lens, **kw)
+    for f in ("m", "n", "k", "l", "s", "cnt"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                      np.asarray(getattr(b, f)),
+                                      err_msg=f)
+    assert int(np.asarray(a.cnt).sum()) > 0
 
 
 @pytest.mark.parametrize("lanes", [None, 7])
