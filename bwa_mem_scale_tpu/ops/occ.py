@@ -301,17 +301,21 @@ def backward_ext2(fmi: DeviceFMIndex, k, l, s, c1, c2):
 
 
 def backward_ext_steps_and_1(fmi: DeviceFMIndex, k, l, s, chars,
-                             kB, lB, sB, cB):
+                             kB, lB, sB, cB, sides=()):
     """K-step backward extension of (k, l, s) by chars[0..K-1]
-    (K = len(chars) = 2 or 3, 3 requires the trigram table) PLUS one
-    single-step backward extension of a second same-shape interval
-    (kB, lB, sB) by cB — all four checkpoint addresses in ONE fused
-    gather. Lets the seeding machine's tick extend the forward walk
-    K bases AND a second backward-tail stack entry at no extra
-    gather depth. Returns (step tuples..., (kb, lb, sb))."""
+    (K = len(chars) = 2 or 3, 3 requires the trigram table) PLUS
+    single-step backward extensions of side intervals — (kB, lB, sB)
+    by cB and each (kX, lX, sX, cX) in `sides` — ALL checkpoint
+    addresses in ONE fused gather. Lets the seeding machine's tick
+    extend the forward walk K bases AND several backward-tail stack
+    entries at no extra gather depth. Returns
+    (step tuples..., B tuple, *side tuples)."""
     want3 = len(chars) == 3
-    pp = jnp.concatenate([k.reshape(-1), (k + s).reshape(-1),
-                          kB.reshape(-1), (kB + sB).reshape(-1)])
+    parts = [k.reshape(-1), (k + s).reshape(-1),
+             kB.reshape(-1), (kB + sB).reshape(-1)]
+    for kX, lX, sX, cX in sides:
+        parts += [kX.reshape(-1), (kX + sX).reshape(-1)]
+    pp = jnp.concatenate(parts)
     occ = _occ12_at(fmi, pp, want3=want3)
     occ1_p, occ2_p = occ[0], occ[1]
     n = k.size
@@ -325,15 +329,23 @@ def backward_ext_steps_and_1(fmi: DeviceFMIndex, k, l, s, chars,
                        rs(occ1_p[:n], 4), rs(occ1_p[n:2 * n], 4),
                        rs(occ2_p[:n], 16), rs(occ2_p[n:2 * n], 16),
                        k, l, s, chars[0], chars[1], **kw)
-    o1kB = rs(occ1_p[2 * n:3 * n], 4)
-    o1eB = rs(occ1_p[3 * n:], 4)
-    s1B_4 = o1eB - o1kB
-    kb = fmi.count[cB] + _take_c(o1kB, cB)
-    sb = _take_c(s1B_4, cB)
-    sentB = ((kB <= fmi.sentinel_index)
-             & (kB + sB > fmi.sentinel_index)).astype(fmi.pos_dtype)
-    lb = lB + sentB + _take_c(_suffix_sum(s1B_4), cB)
-    return steps + ((kb, lb, sb),)
+
+    def one_step(i, kX, lX, sX, cX):
+        o1k = rs(occ1_p[i * n:(i + 1) * n], 4)
+        o1e = rs(occ1_p[(i + 1) * n:(i + 2) * n], 4)
+        s1_4 = o1e - o1k
+        kx = fmi.count[cX] + _take_c(o1k, cX)
+        sx = _take_c(s1_4, cX)
+        sentX = ((kX <= fmi.sentinel_index)
+                 & (kX + sX > fmi.sentinel_index)
+                 ).astype(fmi.pos_dtype)
+        lx = lX + sentX + _take_c(_suffix_sum(s1_4), cX)
+        return (kx, lx, sx)
+
+    out = steps + (one_step(2, kB, lB, sB, cB),)
+    for si, (kX, lX, sX, cX) in enumerate(sides):
+        out = out + (one_step(4 + 2 * si, kX, lX, sX, cX),)
+    return out
 
 
 def backward_ext2_and_1(fmi: DeviceFMIndex, k, l, s, c1, c2,

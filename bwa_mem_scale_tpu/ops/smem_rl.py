@@ -99,6 +99,7 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
     use2 = getattr(fmi, "cp2_fused", None) is not None
     ksteps = (3 if getattr(fmi, "count3", None) is not None
               else 2) if use2 else 1
+    tail3 = ksteps >= 3      # BTAIL consumes three entries per tick
     tidx = jnp.arange(T)
     if out_rows is None:
         out_rows = t_read
@@ -247,16 +248,22 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
         # (one fused stack gather, one fused checkpoint gather).
         scan_i = jnp.where(st["rev"], st["cntA"] - 1 - st["p"], st["p"])
         if use2:
-            scan_i2 = jnp.where(st["rev"], st["cntA"] - 2 - st["p"],
-                                st["p"] + 1)
-            ii = jnp.concatenate([jnp.clip(scan_i, 0, L - 1),
-                                  jnp.clip(scan_i2, 0, L - 1)])
-            tt = jnp.tile(tidx, 2)
+            nsl = 3 if tail3 else 2
+            sis = [jnp.clip(scan_i, 0, L - 1)]
+            for d in range(1, nsl):
+                sis.append(jnp.clip(
+                    jnp.where(st["rev"], st["cntA"] - 1 - d - st["p"],
+                              st["p"] + d), 0, L - 1))
+            ii = jnp.concatenate(sis)
+            tt = jnp.tile(tidx, nsl)
             pr = {f: st["A"][f][tt, ii] for f in ("k", "l", "s", "n")}
             pk, pl, ps, pn = (pr["k"][:T], pr["l"][:T], pr["s"][:T],
                               pr["n"][:T])
-            pk2, pl2, ps2, pn2 = (pr["k"][T:], pr["l"][T:],
-                                  pr["s"][T:], pr["n"][T:])
+            pk2, pl2, ps2, pn2 = (pr["k"][T:2 * T], pr["l"][T:2 * T],
+                                  pr["s"][T:2 * T], pr["n"][T:2 * T])
+            if tail3:
+                pk3, pl3, ps3, pn3 = (pr["k"][2 * T:], pr["l"][2 * T:],
+                                      pr["s"][2 * T:], pr["n"][2 * T:])
         else:
             pk, pl, ps, pn = at(st["A"], scan_i)
         pm = st["mA"]
@@ -280,8 +287,13 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
             kk = jnp.where(is_fwd, ext_l, ext_k)
             ll = jnp.where(is_fwd, ext_k, ext_l)
             from .occ import backward_ext_steps_and_1
+            sides = [(pk3, pl3, ps3, ac)] if tail3 else []
             res = backward_ext_steps_and_1(
-                fmi, kk, ll, ext_s, tuple(sels), pk2, pl2, ps2, ac)
+                fmi, kk, ll, ext_s, tuple(sels), pk2, pl2, ps2, ac,
+                sides=sides)
+            if tail3:
+                (nkC, nlC, nsC) = res[-1]
+                res = res[:-1]
             fsteps, (nkB, nlB, nsB) = res[:-1], res[-1]
             # swap back for fwd lanes; step 1 is shared with backward
             (K1, L1, S1) = fsteps[0]
@@ -446,12 +458,19 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
             keep_tl2 = (bt_run & (st["p"] + 1 < st["cntA"])
                         & (nsB >= mi) & (nsB != cs_mid))
             keep2 = keep_tl2 | keep_sc2 | keep_tl2s
-            Bs, cntB = push3(
-                Bs, cntB,
-                [(keep_b, nk, nl, ns, pn),
-                 (keep2, nkB, nlB, nsB, pn2)])
-            curr_s = jnp.where(keep2, nsB,
-                               jnp.where(keep_b, ns, curr_s))
+            entries_b = [(keep_b, nk, nl, ns, pn),
+                         (keep2, nkB, nlB, nsB, pn2)]
+            curr_s2 = jnp.where(keep2, nsB,
+                                jnp.where(keep_b, ns, curr_s))
+            if tail3:
+                # third tail entry, BTAIL lanes only (scan lanes stay
+                # at two — their second entry may open the tail)
+                keep_tl3 = (bt_run & (st["p"] + 2 < st["cntA"])
+                            & (nsC >= mi) & (nsC != curr_s2))
+                entries_b.append((keep_tl3, nkC, nlC, nsC, pn3))
+                curr_s2 = jnp.where(keep_tl3, nsC, curr_s2)
+            Bs, cntB = push3(Bs, cntB, entries_b)
+            curr_s = curr_s2
         else:
             Bs, cntB = push(Bs, cntB, keep_b, nk, nl, ns, pn)
             curr_s = jnp.where(keep_b, ns, curr_s)
@@ -460,7 +479,9 @@ def one_pos_machine(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
         # path, except a scan whose own entry was the last)
         b_any = bs_run | bt_run
         if use2:
-            badv = jnp.where(bt_run | (bs_run & nb_ok), 2, 1)
+            bt_adv = 3 if tail3 else 2
+            badv = jnp.where(bt_run, bt_adv,
+                             jnp.where(bs_run & nb_ok, 2, 1))
         else:
             badv = jnp.int32(1)
         p = jnp.where(b_any, st["p"] + badv, p)
