@@ -40,9 +40,14 @@ SEED_ENGINE = os.environ.get("BENCH_SEED_ENGINE", "readlane")
 SEED_LANES = int(os.environ.get("BENCH_SEED_LANES", 0)) or None
 # k-step checkpoint table: FWD extensions consume K bases per
 # dependent gather (index/kstep.py); bit-identical output.
-# "0" = off, "1"/"2" = bigram (default), "3" = trigram (chip A/B).
-_KS = os.environ.get("BENCH_KSTEP", "2")
-KSTEP = _KS != "0"
+# "0" = off (default: the round-2 chip A/B measured the bigram path
+# SLOWER on real hardware — 2,582 vs 3,534 reads/s device stage —
+# so it must win a measurement before it ships as default),
+# "1"/"2" = bigram, "3" = trigram, "auto" = self-select by timing
+# one device batch per config and keeping the winner.
+_KS = os.environ.get("BENCH_KSTEP", "auto")
+KSTEP_AUTO = _KS == "auto"
+KSTEP = _KS not in ("0", "auto")
 KSTEP_K = 3 if _KS == "3" else 2
 # Prebuilt genome-scale index (BASELINE configs 2+): point
 # BENCH_INDEX_PREFIX at e.g. data/chr21s or data/hg38s to bench that
@@ -58,9 +63,14 @@ CACHE = os.path.join(
     else f".bench_index_{GENOME_BP}.tpuidx.npz")
 
 
-def get_aligner():
-    from bwa_mem_scale_tpu.config import MemOptions
-    from bwa_mem_scale_tpu.pipeline.align import TpuAligner, PipelineConfig
+_IDX_CACHE = {}
+
+
+def _load_host_index():
+    """Host-side index + EMF/FMA tables (loaded once, shared across
+    aligner configs in auto-select mode)."""
+    if "idx" in _IDX_CACHE:
+        return _IDX_CACHE
     from bwa_mem_scale_tpu.index.artifacts import load_index, save_index
     from bwa_mem_scale_tpu.models.aligner import demo_genome
     from bwa_mem_scale_tpu.index.build import build_index
@@ -78,81 +88,90 @@ def get_aligner():
               f"(l_pac={idx.bns.l_pac:,}, "
               f"pos_dtype={'int32' if idx.pos_fits_int32 else 'int64'}"
               f") in {time.time() - t0:.1f}s", file=sys.stderr)
-        fma_path = f"{INDEX_PREFIX}.fma{FMA_K}.npz"
-        fma = load_fma(fma_path) if os.path.exists(fma_path) else None
-        emf_path = f"{INDEX_PREFIX}.emf{READ_LEN}.npz"
+        prefix = INDEX_PREFIX
+        fma = None
+        if SEED_ENGINE != "readlane":
+            fma_path = f"{prefix}.fma{FMA_K}.npz"
+            fma = load_fma(fma_path) if os.path.exists(fma_path) else None
+        emf_path = f"{prefix}.emf{READ_LEN}.npz"
         emf = (load_perfect_table(emf_path)
                if os.path.exists(emf_path) else None)
-        cp2 = None
-        if KSTEP:
-            from bwa_mem_scale_tpu.index.kstep import load_cp2
-            for kk in (KSTEP_K, 2):
-                cp2_path = f"{INDEX_PREFIX}.cp{kk}.npz"
-                if os.path.exists(cp2_path):
-                    cp2 = load_cp2(cp2_path)
-                    break
-        cfg = PipelineConfig(max_coords=256, max_chains=32,
-                             max_seeds_per_chain=16, max_regs=32,
-                             max_pairs=4 * BATCH,
-                             seed_engine=SEED_ENGINE,
-                             seed_lanes=SEED_LANES)
-        return TpuAligner(idx, MemOptions(), cfg,
-                          fma=None if SEED_ENGINE == "readlane" else fma,
-                          emf=emf, cp2=cp2)
-
-    prefix = CACHE[: -len(".tpuidx.npz")]
-    if os.path.exists(CACHE):
-        idx = load_index(CACHE)
     else:
-        print("* building benchmark index...", file=sys.stderr)
-        t0 = time.time()
-        bns = demo_genome(GENOME_BP, seed=7, n_contigs=1)
-        # full SA residency: the MEMSCALE memory-for-speed tradeoff
-        idx = build_index(bns, sa_compx=0)
-        save_index(idx, prefix)
-        print(f"* index built in {time.time() - t0:.1f}s", file=sys.stderr)
+        prefix = CACHE[: -len(".tpuidx.npz")]
+        if os.path.exists(CACHE):
+            idx = load_index(CACHE)
+        else:
+            print("* building benchmark index...", file=sys.stderr)
+            t0 = time.time()
+            bns = demo_genome(GENOME_BP, seed=7, n_contigs=1)
+            # full SA residency: the MEMSCALE memory-for-speed tradeoff
+            idx = build_index(bns, sa_compx=0)
+            save_index(idx, prefix)
+            print(f"* index built in {time.time() - t0:.1f}s",
+                  file=sys.stderr)
 
-    fma_path = f"{prefix}.fma{FMA_K}.npz"
-    if os.path.exists(fma_path):
-        fma = load_fma(fma_path)
-    else:
-        t0 = time.time()
-        fma = build_fma_table(DeviceFMIndex.from_host(idx), K=FMA_K)
-        save_fma(fma, prefix)
-        print(f"* FMA table (K={FMA_K}) built in {time.time() - t0:.1f}s",
-              file=sys.stderr)
+        # FMA is only consumed by the sweep engine (ops/smem_rl.py
+        # docstring: measured wash on readlane) — don't spend bench
+        # budget building a table the default engine discards.
+        fma = None
+        if SEED_ENGINE != "readlane":
+            fma_path = f"{prefix}.fma{FMA_K}.npz"
+            if os.path.exists(fma_path):
+                fma = load_fma(fma_path)
+            else:
+                t0 = time.time()
+                fma = build_fma_table(DeviceFMIndex.from_host(idx),
+                                      K=FMA_K)
+                save_fma(fma, prefix)
+                print(f"* FMA table (K={FMA_K}) built in "
+                      f"{time.time() - t0:.1f}s", file=sys.stderr)
 
-    emf_path = f"{prefix}.emf{READ_LEN}.npz"
-    if os.path.exists(emf_path):
-        emf = load_perfect_table(emf_path)
-    else:
-        t0 = time.time()
-        emf = build_perfect_table(idx, seed_len=READ_LEN)
-        save_perfect_table(emf, prefix)
-        print(f"* EMF table built in {time.time() - t0:.1f}s",
-              file=sys.stderr)
-
-    cp2 = None
-    if KSTEP:
-        from bwa_mem_scale_tpu.index.kstep import (build_cp2, save_cp2,
-                                                   load_cp2)
-        cp2_path = f"{prefix}.cp{KSTEP_K}.npz"
-        if os.path.exists(cp2_path):
-            cp2 = load_cp2(cp2_path)
+        emf_path = f"{prefix}.emf{READ_LEN}.npz"
+        if os.path.exists(emf_path):
+            emf = load_perfect_table(emf_path)
         else:
             t0 = time.time()
-            cp2 = build_cp2(idx, K=KSTEP_K)
-            save_cp2(cp2, prefix)
-            print(f"* {KSTEP_K}-step table built in "
-                  f"{time.time() - t0:.1f}s", file=sys.stderr)
+            emf = build_perfect_table(idx, seed_len=READ_LEN)
+            save_perfect_table(emf, prefix)
+            print(f"* EMF table built in {time.time() - t0:.1f}s",
+                  file=sys.stderr)
 
+    _IDX_CACHE.update(idx=idx, emf=emf, fma=fma, prefix=prefix)
+    return _IDX_CACHE
+
+
+def _load_cp2(kstep_k):
+    """k-step table for the given K (None = off). Builds it for the
+    synthetic bench genome; for prebuilt indexes (INDEX_PREFIX) only
+    loads an existing artifact — building one at bench time would
+    dominate the run."""
+    if kstep_k is None:
+        return None
+    from bwa_mem_scale_tpu.index.kstep import build_cp2, save_cp2, load_cp2
+    prefix = _load_host_index()["prefix"]
+    cp2_path = f"{prefix}.cp{kstep_k}.npz"
+    if os.path.exists(cp2_path):
+        return load_cp2(cp2_path)
+    if INDEX_PREFIX:
+        return None
+    t0 = time.time()
+    cp2 = build_cp2(_load_host_index()["idx"], K=kstep_k)
+    save_cp2(cp2, prefix)
+    print(f"* {kstep_k}-step table built in {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    return cp2
+
+
+def get_aligner(kstep_k=None):
+    from bwa_mem_scale_tpu.config import MemOptions
+    from bwa_mem_scale_tpu.pipeline.align import TpuAligner, PipelineConfig
+    h = _load_host_index()
     cfg = PipelineConfig(max_coords=256, max_chains=32,
                          max_seeds_per_chain=16, max_regs=32,
                          max_pairs=4 * BATCH, seed_engine=SEED_ENGINE,
-                             seed_lanes=SEED_LANES)
-    return TpuAligner(idx, MemOptions(), cfg,
-                      fma=None if SEED_ENGINE == "readlane" else fma,
-                      emf=emf, cp2=cp2)
+                         seed_lanes=SEED_LANES)
+    return TpuAligner(h["idx"], MemOptions(), cfg, fma=h["fma"],
+                      emf=h["emf"], cp2=_load_cp2(kstep_k))
 
 
 def _probe_default_backend(timeout_s: int = 240) -> bool:
@@ -188,29 +207,61 @@ def main():
     from bwa_mem_scale_tpu.models.aligner import simulate_reads
 
     print(f"* devices: {jax.devices()}", file=sys.stderr)
-    aligner = get_aligner()
-    batches = [simulate_reads(aligner.idx.bns, BATCH, READ_LEN,
+    h = _load_host_index()
+    batches = [simulate_reads(h["idx"].bns, BATCH, READ_LEN,
                               seed=100 + i, err_rate=ERR)
                for i in range(N_BATCHES)]
 
-    # Warmup / compile. The bigram (2-step) path first compiles on
-    # real TPU hardware here; if it fails for any backend-specific
-    # reason, fall back to the 1-step index rather than losing the
-    # bench run.
-    global KSTEP
+    def _dev_time(al, n=2):
+        """Seconds per device batch (seed+chain+extend), warm."""
+        for codes, lens in batches[:1]:      # compile
+            out = al._jit_extend(al.fmi, al.dbns,
+                                 np.asarray(codes, dtype=np.int32),
+                                 np.asarray(lens, dtype=np.int32),
+                                 L=READ_LEN, fma=al.dfma, ert=al.dert)
+            np.asarray(out["pair_overflow"])
+        t0 = time.time()
+        for codes, lens in batches[1:1 + n]:
+            out = al._jit_extend(al.fmi, al.dbns,
+                                 np.asarray(codes, dtype=np.int32),
+                                 np.asarray(lens, dtype=np.int32),
+                                 L=READ_LEN, fma=al.dfma, ert=al.dert)
+            np.asarray(out["pair_overflow"])
+        return (time.time() - t0) / n
+
+    if KSTEP_AUTO:
+        # Self-select the k-step config by MEASUREMENT (round-2
+        # lesson: the bigram table, tuned chip-blind, was slower on
+        # real hardware). Candidates whose table isn't available
+        # collapse to the 1-step config and are deduped.
+        cands, seen = [], set()
+        for kk in (None, 2, 3):
+            cp2 = _load_cp2(kk)
+            key = "off" if cp2 is None else f"K{kk}"
+            if key in seen:
+                continue
+            seen.add(key)
+            cands.append((key, kk if cp2 is not None else None))
+        best, aligner = None, None
+        for key, kk in cands:
+            al = get_aligner(kk)
+            try:
+                dt = _dev_time(al)
+            except Exception as e:
+                print(f"* kstep={key}: failed ({type(e).__name__}: "
+                      f"{e}); skipping", file=sys.stderr)
+                continue
+            print(f"* kstep={key}: {BATCH / dt:,.0f} reads/s "
+                  f"device stage", file=sys.stderr)
+            if best is None or dt < best[1]:
+                best, aligner = (key, dt), al
+        print(f"* selected kstep={best[0]}", file=sys.stderr)
+    else:
+        aligner = get_aligner(KSTEP_K if KSTEP else None)
+
     t0 = time.time()
     codes, lens = batches[0]
-    try:
-        recs = aligner.align_and_finalize(codes, lens)
-    except Exception as e:
-        if not KSTEP:
-            raise
-        print(f"* WARNING: warmup failed with the 2-step table "
-              f"({type(e).__name__}: {e}); retrying without it",
-              file=sys.stderr)
-        KSTEP = False
-        aligner = get_aligner()
-        recs = aligner.align_and_finalize(codes, lens)
+    recs = aligner.align_and_finalize(codes, lens)
     print(f"* warmup (compile) {time.time() - t0:.1f}s", file=sys.stderr)
     n_mapped = sum(1 for r in recs if r and r[0].rid >= 0)
     print(f"* warmup mapped {n_mapped}/{BATCH}", file=sys.stderr)
