@@ -95,9 +95,13 @@ def device_stage_profile(aligner, codes, lens, file=sys.stderr):
         args = ((fmi, codes, lens, fma, ert) if name == "seed"
                 or name == "+sa_lookup"
                 else (fmi, dbns, codes, lens, fma, ert))
-        jax.block_until_ready(fn(*args))      # compile + warm
+        # np.asarray fetch: block_until_ready does NOT reliably
+        # sync on the axon tunnel
+        def _sync(r):
+            np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
+        _sync(fn(*args))                      # compile + warm
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
         times.append(time.perf_counter() - t0)
         names.append(name)
     # full program (the production jit, already compiled)

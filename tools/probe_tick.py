@@ -28,13 +28,15 @@ L = 101
 
 
 def timeit(name, fn, *args):
+    def _sync(r):
+        # np.asarray fetch: block_until_ready does NOT reliably sync
+        # on the axon tunnel
+        np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
     t0 = time.time()
-    r = fn(*args)
-    jax.block_until_ready(r)
+    _sync(fn(*args))
     tc = time.time() - t0
     t0 = time.time()
-    r = fn(*args)
-    jax.block_until_ready(r)
+    _sync(fn(*args))
     dt = time.time() - t0
     print(f"{name:44s} {dt/NT*1e3:7.3f} ms/tick  "
           f"(compile+run1 {tc:.1f}s)", flush=True)
