@@ -243,8 +243,25 @@ def _suffix_sum(v):
 
 
 def _take_c(v, i):
-    return jnp.take_along_axis(
-        v, i[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    """v[..., i] for a per-lane small-axis index, as a one-hot masked
+    reduction. XLA TPU lowers take_along_axis/gather to a serial
+    per-row loop (~4-10 ns/row measured, tools/probe_loop_cost.py);
+    over a W<=64 minor axis the masked sum is pure VPU work and
+    effectively free at machine widths."""
+    W = v.shape[-1]
+    iota = jnp.arange(W, dtype=jnp.int32)
+    sel = iota == i[..., None].astype(jnp.int32)
+    return jnp.sum(jnp.where(sel, v, 0), axis=-1, dtype=v.dtype)
+
+
+def _oh_take(v, idx):
+    """take_along_axis(v, idx, axis=-1) via one-hot (see _take_c).
+    v [..., W], idx [..., n] -> [..., n]."""
+    W = v.shape[-1]
+    iota = jnp.arange(W, dtype=jnp.int32)
+    sel = idx[..., :, None].astype(jnp.int32) == iota   # [..., n, W]
+    return jnp.sum(jnp.where(sel, v[..., None, :], 0), axis=-1,
+                   dtype=v.dtype)
 
 
 def _two_steps(fmi, occ1_k, occ1_e, occ2_k, occ2_e, k, l, s, c1, c2,
@@ -267,7 +284,7 @@ def _two_steps(fmi, occ1_k, occ1_e, occ2_k, occ2_e, k, l, s, c1, c2,
              & (k1 + s1 > fmi.sentinel_index)).astype(fmi.pos_dtype)
     # s''(c) for the intermediate interval = occ2 diffs of (c1 -> c)
     grp = c1[..., None] * 4 + jnp.arange(4, dtype=jnp.int32)
-    s2_grp = jnp.take_along_axis(s2_16, grp, axis=-1)   # [..., 4]
+    s2_grp = _oh_take(s2_16, grp)                       # [..., 4]
     l2 = l1 + sent1 + _take_c(_suffix_sum(s2_grp), c2)
     if c3 is None:
         return (k1, l1, s1), (k2, l2, s2)
@@ -279,7 +296,7 @@ def _two_steps(fmi, occ1_k, occ1_e, occ2_k, occ2_e, k, l, s, c1, c2,
     sent2 = ((k2 <= fmi.sentinel_index)
              & (k2 + s2 > fmi.sentinel_index)).astype(fmi.pos_dtype)
     grp3 = pair[..., None] * 4 + jnp.arange(4, dtype=jnp.int32)
-    s3_grp = jnp.take_along_axis(s3_64, grp3, axis=-1)  # [..., 4]
+    s3_grp = _oh_take(s3_64, grp3)                      # [..., 4]
     l3 = l2 + sent2 + _take_c(_suffix_sum(s3_grp), c3)
     return (k1, l1, s1), (k2, l2, s2), (k3, l3, s3)
 
@@ -388,9 +405,7 @@ def forward_ext3(fmi: DeviceFMIndex, k, l, s, a, b, c):
 def backward_ext(fmi: DeviceFMIndex, k, l, s, a):
     """Backward extension by base a [...] (values 0..3)."""
     k4, l4, s4 = backward_ext_all4(fmi, k, l, s)
-    a_ = a[..., None].astype(jnp.int32)
-    take = lambda v: jnp.take_along_axis(v, a_, axis=-1)[..., 0]
-    return take(k4), take(l4), take(s4)
+    return _take_c(k4, a), _take_c(l4, a), _take_c(s4, a)
 
 
 def forward_ext(fmi: DeviceFMIndex, k, l, s, a):

@@ -107,6 +107,13 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
             min_seed_len=opt.min_seed_len, split_len=opt.split_len,
             split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
             max_out=cfg.max_smem_out or L, lanes=cfg.seed_lanes)
+    elif cfg.seed_engine == "onehot":
+        from ..ops.smem_oh import collect_smems_oh
+        bufs = collect_smems_oh(
+            fmi, codes, lens,
+            min_seed_len=opt.min_seed_len, split_len=opt.split_len,
+            split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
+            max_out=cfg.max_smem_out or L)
     else:
         bufs = collect_smems_device(
             fmi, codes, lens,
