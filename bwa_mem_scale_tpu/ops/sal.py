@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .occ import DeviceFMIndex, occ_and_base, sa_sample_at
+from .occ import DeviceFMIndex, occ_and_base, sa_sample_at, _take_c
 from .smem import SmemBuf
 
 
@@ -49,9 +49,14 @@ def sa_lookup(fmi: DeviceFMIndex, pos: jax.Array, valid: jax.Array
         hit_sentinel = active & (b == 4)
         done_val = jnp.where(hit_sentinel, offset, done_val)
         active = active & ~hit_sentinel
-        bc = jnp.clip(b, 0, 3)[..., None]
-        occ_b = jnp.take_along_axis(occs, bc, axis=-1)[..., 0]
-        sp_new = fmi.count[jnp.clip(b, 0, 3)] + occ_b
+        # one-hot selects (not gathers): XLA TPU lowers per-lane
+        # indexed gathers to a ~4-10 ns/row serial loop; at [B, C]
+        # widths that is ms-class per LF step (probe_loop_cost.py)
+        bc = jnp.clip(b, 0, 3)
+        occ_b = _take_c(occs, bc)
+        cnt_b = _take_c(jnp.broadcast_to(fmi.count,
+                                         (*bc.shape, 5))[..., :4], bc)
+        sp_new = cnt_b + occ_b
         sp = jnp.where(active, sp_new, sp)
         offset = offset + active.astype(pos_dtype)
         return sp, offset, active, done_val
