@@ -33,9 +33,10 @@ BATCH = int(os.environ.get("BENCH_BATCH", 4096))
 N_BATCHES = int(os.environ.get("BENCH_N_BATCHES", 8))
 ERR = 0.01
 FMA_K = int(os.environ.get("BENCH_FMA_K", 11))
-# readlane: read-per-lane SMEM machine — 2x the position-parallel
-# sweep on this chip (see ops/smem_rl.py)
-SEED_ENGINE = os.environ.get("BENCH_SEED_ENGINE", "readlane")
+# onehot: scatter-free read-per-lane machine (ops/smem_oh.py) —
+# chip-measured 2.3x the readlane machine (5,946 vs 2,591 reads/s
+# device stage, round 3); readlane/sweep kept for A/B.
+SEED_ENGINE = os.environ.get("BENCH_SEED_ENGINE", "onehot")
 # readlane worker lanes (backlog refill); 0/unset = one lane per read
 SEED_LANES = int(os.environ.get("BENCH_SEED_LANES", 0)) or None
 # k-step checkpoint table: FWD extensions consume K bases per
@@ -90,7 +91,7 @@ def _load_host_index():
               f") in {time.time() - t0:.1f}s", file=sys.stderr)
         prefix = INDEX_PREFIX
         fma = None
-        if SEED_ENGINE != "readlane":
+        if SEED_ENGINE == "sweep":
             fma_path = f"{prefix}.fma{FMA_K}.npz"
             fma = load_fma(fma_path) if os.path.exists(fma_path) else None
         emf_path = f"{prefix}.emf{READ_LEN}.npz"
@@ -111,10 +112,11 @@ def _load_host_index():
                   file=sys.stderr)
 
         # FMA is only consumed by the sweep engine (ops/smem_rl.py
-        # docstring: measured wash on readlane) — don't spend bench
-        # budget building a table the default engine discards.
+        # docstring: measured wash on readlane; the one-hot machine
+        # doesn't consume it either) — don't spend bench budget
+        # building a table the default engine discards.
         fma = None
-        if SEED_ENGINE != "readlane":
+        if SEED_ENGINE == "sweep":
             fma_path = f"{prefix}.fma{FMA_K}.npz"
             if os.path.exists(fma_path):
                 fma = load_fma(fma_path)

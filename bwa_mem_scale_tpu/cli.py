@@ -300,13 +300,13 @@ def cmd_mem(argv):
             ert = None
         from .pipeline.align import PipelineConfig
         # Engine default is "auto": an auto-loaded ERT index wins,
-        # otherwise the read-per-lane machine — the fastest measured
-        # FM engine and the one bench.py uses, so CLI users get the
-        # benchmarked path (round-1 VERDICT item: bench and CLI must
-        # agree).
-        engine = args.seed_engine or "readlane"
+        # otherwise the scatter-free one-hot machine — the fastest
+        # chip-measured FM engine (2.3x readlane, round 3) and the
+        # one bench.py uses, so CLI users get the benchmarked path
+        # (round-1 VERDICT item: bench and CLI must agree).
+        engine = args.seed_engine or "onehot"
         cfg = PipelineConfig(seed_engine=engine)
-        if engine == "readlane":
+        if engine in ("readlane", "onehot"):
             if ert is not None:
                 if args.seed_engine is None:
                     engine = "sweep"     # auto: let the ERT run
