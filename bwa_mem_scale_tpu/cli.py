@@ -318,8 +318,8 @@ def cmd_mem(argv):
                           "ignoring auto-loaded ERT index",
                           file=sys.stderr)
                     ert = None
-        if engine == "readlane" and fma is not None:
-            print("* note: readlane seeding ignores the FMA "
+        if engine in ("readlane", "onehot") and fma is not None:
+            print(f"* note: {engine} seeding ignores the FMA "
                   "table", file=sys.stderr)
         mesh = None
         if args.devices > 1:

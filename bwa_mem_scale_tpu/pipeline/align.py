@@ -583,23 +583,21 @@ class TpuAligner:
         # Pairs come back compacted in (read, processing-rank) order
         # within each device shard; shards concatenate in read order
         # too, so scanning the valid rows preserves per-read rank.
-        for j in np.flatnonzero(valid):
-            j = int(j)
-            i = int(read[j])
-            a = AlnReg(
-                rb=int(rb_a[j]), re=int(re_a[j]),
-                qb=int(qb_a[j]), qe=int(qe_a[j]),
-                rid=int(rid_a[j]),
-                score=int(score_a[j]),
-                truesc=int(truesc_a[j]),
-                w=int(w_a[j]),
-                seedcov=int(seedcov_a[j]),
-                seedlen0=int(seedlen0_a[j]),
-                frac_rep=float(frac_rep[i]),
-                is_alt=bool(is_alt[int(rid_a[j])]),
-            )
-            if a.qe > a.qb:
-                all_regs[i].append(a)
+        # Bulk-convert the valid rows' columns to Python scalars once
+        # (.tolist is a C loop; per-element int() was ~4x the cost of
+        # the whole device fetch at bench scale).
+        rows = np.flatnonzero(valid & (qe_a > qb_a))
+        cols = [c[rows].tolist() for c in
+                (read, rb_a, re_a, qb_a, qe_a, rid_a, score_a,
+                 truesc_a, w_a, seedcov_a, seedlen0_a)]
+        frep = frac_rep[read[rows]].tolist()
+        alt = is_alt[rid_a[rows]].tolist()
+        for (i, rb, re, qb, qe, rid, sc, tsc, w, scov, sl0), fr, al \
+                in zip(zip(*cols), frep, alt):
+            all_regs[i].append(AlnReg(
+                rb=rb, re=re, qb=qb, qe=qe, rid=rid, score=sc,
+                truesc=tsc, w=w, seedcov=scov, seedlen0=sl0,
+                frac_rep=fr, is_alt=bool(al)))
         return all_regs, overflow
 
     # ------------------------------------------------------------------
