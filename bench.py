@@ -316,6 +316,48 @@ def main():
         print(f"* EMF hits: {aligner.emf_hits}/{aligner.emf_checked}",
               file=sys.stderr)
 
+    # Roofline accounting (VERDICT r2 item 8): count the seeding
+    # machine's dependent FM extensions (= busy lane-ticks) and the
+    # exact bytes its occ gathers must touch, so perf work has a
+    # denominator. Skipped only if the diagnostic run fails.
+    roofline = {}
+    try:
+        from bwa_mem_scale_tpu.ops.smem_oh import one_pos_machine_oh
+        from bwa_mem_scale_tpu.ops.smem import SmemBuf
+        import jax.numpy as jnp
+        codes, lens = batches[0]
+        B = codes.shape[0]
+        _, (ticks, done_at, phase_ticks) = one_pos_machine_oh(
+            aligner.fmi, jnp.asarray(np.asarray(codes, np.int32)),
+            jnp.asarray(np.asarray(lens, np.int32)),
+            jnp.arange(B, dtype=jnp.int32), jnp.zeros(B, jnp.int32),
+            jnp.ones(B, jnp.int32), jnp.asarray(lens) > 0, True,
+            aligner.opt.min_seed_len, READ_LEN,
+            SmemBuf.empty(B, READ_LEN, aligner.fmi.pos_dtype),
+            with_ticks=True)
+        ticks = int(np.asarray(ticks))
+        busy = int(np.asarray(phase_ticks)[:4].sum())
+        row_b = (aligner.fmi.cp2_fused.shape[1] * 4
+                 if aligner.fmi.cp2_fused is not None else 32)
+        occ_bytes = ticks * 2 * B * row_b   # 2 addresses/lane/tick
+        dev_batch_s = dev_dt / N_BATCHES
+        roofline = {
+            "fm_ext_per_read": round(busy / B, 1),
+            "seed_ticks_p1": ticks,
+            "occ_bytes_per_read": round(occ_bytes / B, 1),
+            "occ_gather_gbps": round(occ_bytes / dev_batch_s / 1e9, 2),
+        }
+        print(f"* roofline: pass-1 {ticks} ticks, "
+              f"{busy / B:.0f} FM ext/read, occ gathers "
+              f"{occ_bytes / 1e6:.0f} MB/batch "
+              f"({roofline['occ_gather_gbps']} GB/s-equiv vs ~800 "
+              f"peak; lockstep tail = "
+              f"{1 - busy / max(ticks * B, 1):.0%} idle lanes)",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"* roofline accounting skipped: {type(e).__name__}: "
+              f"{e}", file=sys.stderr)
+
     if BENCH_TAG:
         metric = f"se_reads_per_sec_chip_{BENCH_TAG}"
     elif INDEX_PREFIX:
@@ -331,6 +373,7 @@ def main():
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(rps / BWAMEM2_40CORE_EST, 4),
+        **roofline,
     }))
 
 
