@@ -257,6 +257,9 @@ def main():
                   f"device stage", file=sys.stderr)
             if best is None or dt < best[1]:
                 best, aligner = (key, dt), al
+        if best is None:
+            raise SystemExit("every kstep candidate failed to "
+                             "compile/run (see messages above)")
         print(f"* selected kstep={best[0]}", file=sys.stderr)
     else:
         aligner = get_aligner(KSTEP_K if KSTEP else None)

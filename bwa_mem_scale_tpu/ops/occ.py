@@ -120,6 +120,18 @@ class DeviceFMIndex:
             ref_fw_only = pos_dtype == np.int64
         ref = (idx.ref_string[: idx.bns.l_pac] if ref_fw_only
                else idx.ref_string)
+        if ref.shape[0] > REF_2D_LIMIT:
+            # XLA TPU cannot gather into a 1-D operand whose index
+            # space exceeds 32 bits ("indices exceed 32-bits" at AOT
+            # compile, hit at hg38 scale on real hardware). Pack the
+            # byte reference [n] -> [ceil(n/16), 16]: row indices fit
+            # int32, the lane is selected one-hot (ref_byte).
+            n = ref.shape[0]
+            pad = (-n) % 16
+            if pad:
+                ref = np.concatenate(
+                    [ref, np.zeros(pad, dtype=ref.dtype)])
+            ref = ref.reshape(-1, 16)
         cp2_fused = count2 = count3 = None
         if cp2 is not None:
             if pos_dtype != np.int32:
@@ -147,23 +159,45 @@ class DeviceFMIndex:
         )
 
 
+# Above this element count a 1-D ref can't be gathered on TPU (XLA
+# rejects >32-bit index spaces); DeviceFMIndex packs it [n/16, 16].
+REF_2D_LIMIT = (1 << 31) - (1 << 20)
+
+
+def _ref_fetch(ref: jax.Array, idx: jax.Array) -> jax.Array:
+    """ref[idx] for both device layouts ([n] u8, or [n/16, 16] u8 for
+    hg38-class refs whose flat index space exceeds 32 bits)."""
+    if ref.ndim == 2:
+        rows = (idx >> 4).astype(jnp.int32)
+        lane = (idx & 15).astype(jnp.int32)
+        r = ref[rows]                               # [..., 16] u8
+        iota = jnp.arange(16, dtype=jnp.int32)
+        return jnp.sum(jnp.where(iota == lane[..., None], r, 0),
+                       axis=-1, dtype=jnp.int32)
+    return ref[idx].astype(jnp.int32)
+
+
+def ref_flat_len(ref: jax.Array) -> int:
+    return int(ref.shape[0]) * (16 if ref.ndim == 2 else 1)
+
+
 def ref_byte(ref: jax.Array, pos: jax.Array, l_pac: int) -> jax.Array:
     """Reference base at fw+rc position(s) in [0, 2*l_pac) as int32.
 
-    Supports both device layouts: the full fw+rc byte array, or
-    forward-only ([l_pac]) with the reverse-complement strand
-    computed on the fly from the mirrored position — the hg38 HBM
-    residency plan (halves the resident reference, one gather either
-    way; the ref holds only 0..3 because index construction fills
-    ambiguity holes with random bases, matching the reference's pac,
-    src/bntseq.cpp)."""
+    Supports the device layouts: full fw+rc byte array, forward-only
+    ([l_pac], hg38 HBM residency plan — the reverse-complement strand
+    is computed on the fly from the mirrored position), and either of
+    those packed 2-D ([n/16, 16]) when the flat index space exceeds
+    32 bits (TPU gather limit; see _ref_fetch). The ref holds only
+    0..3 because index construction fills ambiguity holes with random
+    bases, matching the reference's pac, src/bntseq.cpp."""
     l2 = 2 * l_pac
     pos = jnp.clip(pos, 0, l2 - 1)
-    if int(ref.shape[0]) >= l2:
-        return ref[pos].astype(jnp.int32)
+    if ref_flat_len(ref) >= l2:
+        return _ref_fetch(ref, pos)
     rev = pos >= l_pac
     idx = jnp.where(rev, (l2 - 1) - pos, pos)
-    v = ref[idx].astype(jnp.int32)
+    v = _ref_fetch(ref, idx)
     return jnp.where(rev, 3 - v, v)
 
 

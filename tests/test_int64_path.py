@@ -83,3 +83,28 @@ def test_int64_sal_and_occ_bit_equal(small_index):
             assert np.array_equal(want[0], got[0])
             assert np.array_equal(want[1], got[1])
             assert np.array_equal(want[2], got[2])
+
+
+def test_ref_byte_2d_layout():
+    """hg38-class refs are packed [n/16, 16] (XLA TPU rejects 1-D
+    gathers whose index space exceeds 32 bits); ref_byte must be
+    bit-equal across layouts, fw-only included."""
+    import numpy as np
+    import jax.numpy as jnp
+    from bwa_mem_scale_tpu.ops.occ import ref_byte
+
+    rng = np.random.RandomState(3)
+    l_pac = 1000
+    fw = rng.randint(0, 4, l_pac).astype(np.uint8)
+    full = np.concatenate([fw, 3 - fw[::-1]])
+    pos = jnp.asarray(rng.randint(0, 2 * l_pac, 256))
+
+    def pack2d(a):
+        pad = (-len(a)) % 16
+        return jnp.asarray(np.concatenate(
+            [a, np.zeros(pad, np.uint8)]).reshape(-1, 16))
+
+    want = np.asarray(ref_byte(jnp.asarray(full), pos, l_pac))
+    for ref in (jnp.asarray(fw), pack2d(fw), pack2d(full)):
+        got = np.asarray(ref_byte(ref, pos, l_pac))
+        np.testing.assert_array_equal(got, want)
