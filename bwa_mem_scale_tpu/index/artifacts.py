@@ -42,6 +42,7 @@ class FMIndex:
     sentinel_index: int
     bns: BntSeq
     ref_string: np.ndarray   # uint8 [2*l_pac] fw+rc byte reference
+    source_prefix: str = None   # set by load_index (device-layout cache)
 
     @property
     def l_pac(self) -> int:
@@ -105,4 +106,6 @@ def load_index(prefix: str) -> FMIndex:
         sentinel_index=meta["sentinel_index"],
         bns=bns,
         ref_string=ref_string,
+        source_prefix=path[: -len(".tpuidx.npz")]
+        if path.endswith(".tpuidx.npz") else None,
     )

@@ -101,37 +101,19 @@ class DeviceFMIndex:
             cp_fused = jnp.asarray(fused)
             sa_samples = jnp.asarray(idx.sa_samples, dtype=pos_dtype)
         else:
-            # hg38-class HBM residency: checkpoint counts split into
-            # a fused uint32 row (low words | masks — one gather on
-            # the hot path) + a tiny uint8 high-byte array; SA
-            # samples in the reference's 5-byte ms/ls layout; the
-            # reference forward half only. ~14 GB total for hg38's
-            # 6.2e9-position fw+rc space vs ~22 GB naive int64.
-            cnt = np.ascontiguousarray(idx.cp_count, dtype=np.int64)
-            fused32 = np.concatenate(
-                [(cnt & 0xFFFFFFFF).astype(np.uint32),
-                 idx.cp_mask.view(np.uint32).reshape(-1, 4)], axis=1)
-            cp_fused32 = jnp.asarray(fused32)
-            cp_hi = jnp.asarray((cnt >> 32).astype(np.uint8))
-            sa = np.ascontiguousarray(idx.sa_samples, dtype=np.int64)
-            sa_ms = jnp.asarray((sa >> 32).astype(np.uint8))
-            sa_ls = jnp.asarray((sa & 0xFFFFFFFF).astype(np.uint32))
+            lay = cls._int64_layout(idx)
+            cp_fused32 = jnp.asarray(lay["cp_fused32"])
+            cp_hi = jnp.asarray(lay["cp_hi"])
+            sa_ms = jnp.asarray(lay["sa_ms"])
+            sa_ls = jnp.asarray(lay["sa_ls"])
         if ref_fw_only is None:
             ref_fw_only = pos_dtype == np.int64
-        ref = (idx.ref_string[: idx.bns.l_pac] if ref_fw_only
-               else idx.ref_string)
-        if ref.shape[0] > REF_2D_LIMIT:
-            # XLA TPU cannot gather into a 1-D operand whose index
-            # space exceeds 32 bits ("indices exceed 32-bits" at AOT
-            # compile, hit at hg38 scale on real hardware). Pack the
-            # byte reference [n] -> [ceil(n/16), 16]: row indices fit
-            # int32, the lane is selected one-hot (ref_byte).
-            n = ref.shape[0]
-            pad = (-n) % 16
-            if pad:
-                ref = np.concatenate(
-                    [ref, np.zeros(pad, dtype=ref.dtype)])
-            ref = ref.reshape(-1, 16)
+        if pos_dtype == np.int64 and ref_fw_only:
+            ref = lay["ref"]
+        else:
+            ref = (idx.ref_string[: idx.bns.l_pac] if ref_fw_only
+                   else idx.ref_string)
+            ref = cls._pack_ref(ref)
         cp2_fused = count2 = count3 = None
         if cp2 is not None:
             if pos_dtype != np.int32:
@@ -153,6 +135,82 @@ class DeviceFMIndex:
             cp2_fused=cp2_fused,
             count2=count2,
             count3=count3,
+            sa_compx=idx.sa_compx,
+            l_pac=idx.bns.l_pac,
+            seq_len=idx.seq_len,
+        )
+
+
+    @staticmethod
+    def _pack_ref(ref: np.ndarray) -> np.ndarray:
+        """XLA TPU cannot gather into a 1-D operand whose index space
+        exceeds 32 bits ("indices exceed 32-bits" at AOT compile, hit
+        at hg38 scale on real hardware). Pack the byte reference
+        [n] -> [ceil(n/16), 16]: row indices fit int32, the lane is
+        selected one-hot (ref_byte)."""
+        if ref.shape[0] <= REF_2D_LIMIT:
+            return ref
+        pad = (-ref.shape[0]) % 16
+        if pad:
+            ref = np.concatenate([ref, np.zeros(pad, dtype=ref.dtype)])
+        return ref.reshape(-1, 16)
+
+    @classmethod
+    def _int64_layout(cls, idx: FMIndex) -> dict:
+        """hg38-class HBM residency transforms (numpy): checkpoint
+        counts split into a fused uint32 row (low words | masks — one
+        gather on the hot path) + a tiny uint8 high-byte array; SA
+        samples in the reference's 5-byte ms/ls layout
+        (sa_ms_byte/sa_ls_word, src/FMI_search.cpp:723-743); forward
+        ref half only, 2-D packed. ~14 GB total for hg38's 6.2e9
+        positions vs ~22 GB naive int64."""
+        cnt = np.ascontiguousarray(idx.cp_count, dtype=np.int64)
+        fused32 = np.concatenate(
+            [(cnt & 0xFFFFFFFF).astype(np.uint32),
+             idx.cp_mask.view(np.uint32).reshape(-1, 4)], axis=1)
+        sa = np.ascontiguousarray(idx.sa_samples, dtype=np.int64)
+        return dict(
+            cp_fused32=fused32,
+            cp_hi=(cnt >> 32).astype(np.uint8),
+            sa_ms=(sa >> 32).astype(np.uint8),
+            sa_ls=(sa & 0xFFFFFFFF).astype(np.uint32),
+            ref=cls._pack_ref(idx.ref_string[: idx.bns.l_pac]),
+        )
+
+    @classmethod
+    def from_host_cached(cls, idx: FMIndex,
+                         cp2=None) -> "DeviceFMIndex":
+        """from_host with a persisted post-layout cache for
+        genome-scale (int64-position) indexes: the host-side
+        transforms (count split, SA 5-byte split, ref 2-D packing)
+        cost minutes + peak RAM at hg38 scale; the cache mmaps the
+        transformed arrays so a cold start streams them straight to
+        HBM (the bwa_shm warm-store effect, src/bwa_shm.cpp:1585)."""
+        import os
+        if idx.pos_fits_int32 or not getattr(idx, "source_prefix",
+                                             None):
+            return cls.from_host(idx, cp2=cp2)
+        if cp2 is not None:
+            raise ValueError("k-step table is int32-path only")
+        path = idx.source_prefix + ".devlayout.npz"
+        if not os.path.exists(path):
+            lay = cls._int64_layout(idx)
+            np.savez(path, **lay)
+            del lay
+        from ..utils.npzmap import load_npz_mmap
+        z = load_npz_mmap(path)
+        return cls(
+            count=jnp.asarray(idx.count, dtype=np.int64),
+            cp_fused=None,
+            cp_fused32=jnp.asarray(z["cp_fused32"]),
+            cp_hi=jnp.asarray(z["cp_hi"]),
+            sa_samples=None,
+            sa_ms=jnp.asarray(z["sa_ms"]),
+            sa_ls=jnp.asarray(z["sa_ls"]),
+            sentinel_index=jnp.asarray(idx.sentinel_index,
+                                       dtype=np.int64),
+            ref=jnp.asarray(z["ref"]),
+            cp2_fused=None, count2=None, count3=None,
             sa_compx=idx.sa_compx,
             l_pac=idx.bns.l_pac,
             seq_len=idx.seq_len,

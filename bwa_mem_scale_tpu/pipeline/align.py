@@ -421,7 +421,7 @@ class TpuAligner:
         self.mesh = mesh            # jax.sharding.Mesh or None
         self.opt = opt or MemOptions()
         self.cfg = cfg or PipelineConfig()
-        self.fmi = DeviceFMIndex.from_host(idx, cp2=cp2)
+        self.fmi = DeviceFMIndex.from_host_cached(idx, cp2=cp2)
         self.dbns = DeviceBns.from_host(idx.bns)
         self.dfma = (fma.to_device(self.fmi.pos_dtype)
                      if fma is not None else None)
