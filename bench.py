@@ -319,6 +319,12 @@ def main():
     if aligner.emf_checked:
         print(f"* EMF hits: {aligner.emf_hits}/{aligner.emf_checked}",
               file=sys.stderr)
+    n_retry = getattr(aligner, "overflow_retried", 0)
+    n_oracle = getattr(aligner, "overflow_oracle", 0)
+    if n_retry or n_oracle:
+        print(f"* overflow: {n_retry} reads retried at 4x shapes, "
+              f"{n_oracle} fell through to the host oracle",
+              file=sys.stderr)
 
     # Roofline accounting (VERDICT r2 item 8): count the seeding
     # machine's dependent FM extensions (= busy lane-ticks) and the
