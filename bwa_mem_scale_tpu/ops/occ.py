@@ -39,10 +39,10 @@ class DeviceFMIndex:
     count: jax.Array        # [5] pos_dtype
     cp_fused: jax.Array     # [nb, 8] int32 (counts | bitcast masks),
                             # or None for int64 genomes
-    cp_fused32: jax.Array   # int64 path: [nb, 9] uint32 (low-32
-                            #   counts | masks | packed 4xu8 high
-                            #   bytes) — ONE gather per address
-    cp_hi: jax.Array        # unused (kept for pytree stability)
+    cp_fused32: jax.Array   # int64 path: [nb, 8] uint32
+                            #   (low-32 counts | masks) — one gather
+    cp_hi: jax.Array        # int64 path: [nb, 4] uint8 high count
+                            #   bits (positions < 2^40, so 8 suffice)
     sa_samples: jax.Array   # [ns] pos_dtype (int32 path; None int64)
     sa_ms: jax.Array        # int64 path: [ns] uint8 high byte
     sa_ls: jax.Array        # int64 path: [ns] uint32 low word
@@ -103,6 +103,7 @@ class DeviceFMIndex:
         else:
             lay = cls._int64_layout(idx)
             cp_fused32 = jnp.asarray(lay["cp_fused32"])
+            cp_hi = jnp.asarray(lay["cp_hi"])
             sa_ms = jnp.asarray(lay["sa_ms"])
             sa_ls = jnp.asarray(lay["sa_ls"])
         if ref_fw_only is None:
@@ -164,16 +165,13 @@ class DeviceFMIndex:
         ref half only, 2-D packed. ~14 GB total for hg38's 6.2e9
         positions vs ~22 GB naive int64."""
         cnt = np.ascontiguousarray(idx.cp_count, dtype=np.int64)
-        hi = (cnt >> 32).astype(np.uint32)       # < 256 each
-        hi_packed = (hi[:, 0] | (hi[:, 1] << 8) | (hi[:, 2] << 16)
-                     | (hi[:, 3] << 24))[:, None]
         fused32 = np.concatenate(
             [(cnt & 0xFFFFFFFF).astype(np.uint32),
-             idx.cp_mask.view(np.uint32).reshape(-1, 4),
-             hi_packed], axis=1)                 # [nb, 9]: ONE gather
+             idx.cp_mask.view(np.uint32).reshape(-1, 4)], axis=1)
         sa = np.ascontiguousarray(idx.sa_samples, dtype=np.int64)
         return dict(
             cp_fused32=fused32,
+            cp_hi=(cnt >> 32).astype(np.uint8),
             sa_ms=(sa >> 32).astype(np.uint8),
             sa_ls=(sa & 0xFFFFFFFF).astype(np.uint32),
             ref=cls._pack_ref(idx.ref_string[: idx.bns.l_pac]),
@@ -194,7 +192,7 @@ class DeviceFMIndex:
             return cls.from_host(idx, cp2=cp2)
         if cp2 is not None:
             raise ValueError("k-step table is int32-path only")
-        path = idx.source_prefix + ".devlayout2.npz"
+        path = idx.source_prefix + ".devlayout.npz"
         if not os.path.exists(path):
             lay = cls._int64_layout(idx)
             np.savez(path, **lay)
@@ -205,7 +203,7 @@ class DeviceFMIndex:
             count=jnp.asarray(idx.count, dtype=np.int64),
             cp_fused=None,
             cp_fused32=jnp.asarray(z["cp_fused32"]),
-            cp_hi=None,
+            cp_hi=jnp.asarray(z["cp_hi"]),
             sa_samples=None,
             sa_ms=jnp.asarray(z["sa_ms"]),
             sa_ls=jnp.asarray(z["sa_ls"]),
@@ -517,13 +515,10 @@ def _row_at(fmi: DeviceFMIndex, block):
         row = fmi.cp_fused[block]
         return row[..., :4], jax.lax.bitcast_convert_type(row[..., 4:],
                                                           jnp.uint32)
-    row = fmi.cp_fused32[block]                 # [..., 9] uint32
+    row = fmi.cp_fused32[block]                 # [..., 8] uint32
     lo = row[..., :4].astype(jnp.int64)
-    # high count bytes packed 4x-u8 into column 8 — the whole
-    # checkpoint row is ONE gather on the int64 path too
-    sh = jnp.asarray([0, 8, 16, 24], jnp.uint32)
-    hi = ((row[..., 8:9] >> sh) & jnp.uint32(0xFF)).astype(jnp.int64)
-    return (hi << 32) | lo, row[..., 4:8]
+    hi = fmi.cp_hi[block].astype(jnp.int64)     # [..., 4] uint8
+    return (hi << 32) | lo, row[..., 4:]
 
 
 def sa_sample_at(fmi: DeviceFMIndex, idx: jax.Array) -> jax.Array:
