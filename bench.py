@@ -96,7 +96,8 @@ def _load_host_index():
             fma = load_fma(fma_path) if os.path.exists(fma_path) else None
         emf_path = f"{prefix}.emf{READ_LEN}.npz"
         emf = (load_perfect_table(emf_path)
-               if os.path.exists(emf_path) else None)
+               if os.path.exists(emf_path)
+               and not os.environ.get("BENCH_NO_EMF") else None)
     else:
         prefix = CACHE[: -len(".tpuidx.npz")]
         if os.path.exists(CACHE):
