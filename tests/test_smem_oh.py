@@ -111,3 +111,22 @@ def test_strategy_oh_kstep(small_index):
     b = seed_strategy_machine_oh(fmi2, jnp.asarray(codes),
                                  jnp.asarray(lens), 20, 20, 101)
     _assert_bufs_equal(a, b)
+
+
+def test_collect_oh_staged_narrowing(small_index, dev_index,
+                                     monkeypatch):
+    """Stage compaction (lockstep-tail fix) must be bit-identical to
+    the single-stage machine at any width schedule."""
+    codes, lens = _read_set(small_index)
+    opt = MemOptions()
+    kw = dict(min_seed_len=opt.min_seed_len, split_len=opt.split_len,
+              split_width=opt.split_width,
+              max_mem_intv=opt.max_mem_intv)
+    monkeypatch.setenv("BWATPU_SEED_STAGES", "0")
+    ref = collect_smems_oh(dev_index, jnp.asarray(codes),
+                           jnp.asarray(lens), **kw)
+    for sched in ("16", "16,8", "13,5,2", "1"):
+        monkeypatch.setenv("BWATPU_SEED_STAGES", sched)
+        got = collect_smems_oh(dev_index, jnp.asarray(codes),
+                               jnp.asarray(lens), **kw)
+        _assert_bufs_equal(ref, got)
