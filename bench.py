@@ -211,8 +211,16 @@ def main():
 
     print(f"* devices: {jax.devices()}", file=sys.stderr)
     h = _load_host_index()
+    # Fresh read values every run: the axon tunnel's value cache is
+    # server-side and can serve identical (program, input) pairs
+    # ACROSS runs — reusing fixed seeds would let a rerun of the same
+    # bench be partially served from cache and inflate throughput.
+    # BENCH_SEED pins it for reproducibility experiments.
+    seed0 = int(os.environ.get("BENCH_SEED",
+                               int(time.time()) % 1000000))
+    print(f"* batch seed base {seed0}", file=sys.stderr)
     batches = [simulate_reads(h["idx"].bns, BATCH, READ_LEN,
-                              seed=100 + i, err_rate=ERR)
+                              seed=seed0 + i, err_rate=ERR)
                for i in range(N_BATCHES)]
 
     def _dev_time(al, n=2):

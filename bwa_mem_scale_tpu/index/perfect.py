@@ -409,9 +409,31 @@ def emf_lookup_host(pt: PerfectTable, ref: np.ndarray,
     P = max(pt.max_probe, 1)
     slots = ((h[:, None] + np.arange(P, dtype=np.uint64)[None, :])
              & mask).astype(np.int64)
-    loc_p = pt.loc[slots]
+    # Probe in rounds with early exit: a budgeted genome-scale table
+    # can carry max_probe in the hundreds (hg38 -g 40: 175), but
+    # almost every read resolves in the first couple of slots —
+    # fetching all B*P slots up front touches ~100x more random pages
+    # of the (mmap'd, tens-of-GB) table than the probe needs.
+    loc_p = np.full((B, P), -1, dtype=pt.loc.dtype)
+    fp_p = np.zeros((B, P), dtype=pt.fp.dtype)
+    CH = 4
+    row_alive = np.ones(B, dtype=bool)
+    for c0 in range(0, P, CH):
+        c1 = min(c0 + CH, P)
+        rows = np.flatnonzero(row_alive)
+        if not len(rows):
+            break
+        sl = slots[rows, c0:c1]
+        lp = pt.loc[sl]
+        fp = pt.fp[sl]
+        loc_p[rows, c0:c1] = lp
+        fp_p[rows, c0:c1] = fp
+        # stop at the first empty slot or fingerprint candidate (the
+        # argmax below picks the first candidate regardless)
+        row_alive[rows] &= ((lp >= 0).all(axis=1)
+                            & ~(fp == fpq[rows, None]).any(axis=1))
     alive = np.cumprod(loc_p >= 0, axis=1).astype(bool)
-    cand = alive & (pt.fp[slots] == fpq[:, None])
+    cand = alive & (fp_p == fpq[:, None])
     sel = np.argmax(cand, axis=1)
     has_cand = cand.any(axis=1)
     slot = slots[bidx, sel]

@@ -39,7 +39,7 @@ def main():
     cfg = al.cfg
     B, L = bench.BATCH, bench.READ_LEN
 
-    batches = [simulate_reads(al.idx.bns, B, L, seed=100 + i,
+    batches = [simulate_reads(al.idx.bns, B, L, seed=7000 + int(time.time()) % 9999 + i,
                               err_rate=0.01) for i in range(REPS)]
     batches = [(jnp.asarray(np.asarray(c, np.int32)),
                 jnp.asarray(np.asarray(l, np.int32)))
