@@ -609,6 +609,7 @@ class TpuAligner:
     # fixed-shape equivalent of that guarantee.
     # ------------------------------------------------------------------
     RETRY_BATCH = 16
+    RETRY2_BATCH = 4
 
     def _retry_jit(self):
         if getattr(self, "_retry_fn", None) is None:
@@ -628,6 +629,28 @@ class TpuAligner:
                 partial(seed_chain_extend, opt=self.opt, cfg=cfg_big),
                 static_argnames=("L",))
         return self._retry_fn
+
+    def _retry2_jit(self):
+        """Second retry tier (repeat-monster reads; hg38-class
+        genomes overflow tier 1 often enough that the pure-Python
+        oracle — seconds per read at 3 Gbp — must stay a last
+        resort, not a common path)."""
+        if getattr(self, "_retry2_fn", None) is None:
+            c1 = self._retry_cfg
+            cfg2 = PipelineConfig(
+                max_smem_out=2 * c1.max_smem_out,
+                max_coords=4 * c1.max_coords,
+                max_chains=4 * c1.max_chains,
+                max_seeds_per_chain=2 * c1.max_seeds_per_chain,
+                max_regs=2 * c1.max_regs,
+                max_pairs=0,
+                target_pad=c1.target_pad,
+                seed_engine=c1.seed_engine)
+            cfg2.max_pairs = self.RETRY2_BATCH * cfg2.max_regs
+            self._retry2_fn = jax.jit(
+                partial(seed_chain_extend, opt=self.opt, cfg=cfg2),
+                static_argnames=("L",))
+        return self._retry2_fn
 
     def _oracle_raw_regs(self, query: np.ndarray):
         """Raw (pre-dedup) AlnRegs for one read via the NumPy oracle —
@@ -668,14 +691,32 @@ class TpuAligner:
                      jnp.asarray(gl), L=L, fma=self.dfma,
                      ert=self.dert)
             regs2, of2 = self._regs_from_device(out, gc)
+            tier2 = []
             for j, i in enumerate(grp):
-                if of2[j]:   # still truncated: oracle (never drops)
-                    self.overflow_oracle = getattr(
-                        self, "overflow_oracle", 0) + 1
-                    all_regs[i] = self._oracle_raw_regs(
-                        codes[i, : lens[i]].astype(np.uint8))
+                if of2[j]:   # tier 2 before the oracle of last resort
+                    tier2.append(i)
                 else:
                     all_regs[i] = regs2[j]
+            fn2 = self._retry2_jit() if tier2 else None
+            for base2 in range(0, len(tier2), self.RETRY2_BATCH):
+                grp2 = tier2[base2: base2 + self.RETRY2_BATCH]
+                g2c = np.full((self.RETRY2_BATCH, L), 4, dtype=np.int32)
+                g2l = np.zeros(self.RETRY2_BATCH, dtype=np.int32)
+                for j, i in enumerate(grp2):
+                    g2c[j] = codes[i]
+                    g2l[j] = lens[i]
+                out2 = fn2(self.fmi, self.dbns, jnp.asarray(g2c),
+                           jnp.asarray(g2l), L=L, fma=self.dfma,
+                           ert=self.dert)
+                regs3, of3 = self._regs_from_device(out2, g2c)
+                for j, i in enumerate(grp2):
+                    if of3[j]:   # still truncated: oracle (never drops)
+                        self.overflow_oracle = getattr(
+                            self, "overflow_oracle", 0) + 1
+                        all_regs[i] = self._oracle_raw_regs(
+                            codes[i, : lens[i]].astype(np.uint8))
+                    else:
+                        all_regs[i] = regs3[j]
         return all_regs
 
     def dispatch_batch(self, codes: np.ndarray, lens: np.ndarray,
