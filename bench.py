@@ -169,8 +169,15 @@ def get_aligner(kstep_k=None):
     from bwa_mem_scale_tpu.config import MemOptions
     from bwa_mem_scale_tpu.pipeline.align import TpuAligner, PipelineConfig
     h = _load_host_index()
-    cfg = PipelineConfig(max_coords=256, max_chains=32,
-                         max_seeds_per_chain=16, max_regs=32,
+    # Repeat-rich genome-scale workloads (hg38-class, int64
+    # positions) overflow a 256-coord budget on ~30% of reads
+    # (measured round 3); provision 2x so the retry ladder is the
+    # exception, not the path.
+    big = not h["idx"].pos_fits_int32
+    cfg = PipelineConfig(max_coords=512 if big else 256,
+                         max_chains=64 if big else 32,
+                         max_seeds_per_chain=16,
+                         max_regs=64 if big else 32,
                          max_pairs=4 * BATCH, seed_engine=SEED_ENGINE,
                          seed_lanes=SEED_LANES)
     return TpuAligner(h["idx"], MemOptions(), cfg, fma=h["fma"],

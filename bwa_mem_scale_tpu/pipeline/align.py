@@ -608,8 +608,10 @@ class TpuAligner:
     # (heap-backed vectors, src/bwamem.cpp:789-1050); this is the
     # fixed-shape equivalent of that guarantee.
     # ------------------------------------------------------------------
-    RETRY_BATCH = 16
-    RETRY2_BATCH = 4
+    # Tier batches: big enough that a high-overflow batch (repeat-
+    # rich genomes) costs a handful of retry dispatches, not hundreds
+    RETRY_BATCH = 64
+    RETRY2_BATCH = 8
 
     def _retry_jit(self):
         if getattr(self, "_retry_fn", None) is None:
