@@ -940,44 +940,50 @@ class TpuAligner:
         opt = self.opt
         bns = self.idx.bns
         ref = self.idx.ref_string
+        from ..utils.profiling import PROFILER
         codes, lens, pm_regs, all_regs = fetched
         B = codes.shape[0]
         queries = [codes[i, : lens[i]].astype(np.uint8)
                    for i in range(B)]
-        for i in range(B):
-            if i in pm_regs:
-                all_regs[i] = pm_regs[i]
-            else:
-                all_regs[i] = sort_dedup_patch(opt, bns, ref,
-                                               queries[i], all_regs[i])
+        with PROFILER.phase("pe_dedup"):
+            for i in range(B):
+                if i in pm_regs:
+                    all_regs[i] = pm_regs[i]
+                else:
+                    all_regs[i] = sort_dedup_patch(
+                        opt, bns, ref, queries[i], all_regs[i])
 
         pair_regs = [(all_regs[2 * p], all_regs[2 * p + 1])
                      for p in range(B // 2)]
         pair_seqs = [(queries[2 * p], queries[2 * p + 1])
                      for p in range(B // 2)]
-        pes = self.pes if self.pes is not None else mem_pestat(
-            opt, bns.l_pac, pair_regs,
-            log=lambda m: print(m, file=sys.stderr))
+        with PROFILER.phase("pe_pestat"):
+            pes = self.pes if self.pes is not None else mem_pestat(
+                opt, bns.l_pac, pair_regs,
+                log=lambda m: print(m, file=sys.stderr))
 
-        jobs = build_rescue_jobs(opt, bns, ref, pes, pair_regs,
-                                 pair_seqs)
-        results = run_rescue_jobs(opt, jobs)
-        apply_rescues(opt, bns.l_pac, jobs, results, pair_regs)
+        with PROFILER.phase("pe_rescue_plan"):
+            jobs = build_rescue_jobs(opt, bns, ref, pes, pair_regs,
+                                     pair_seqs)
+        with PROFILER.phase("pe_rescue_run"):
+            results = run_rescue_jobs(opt, jobs)
+            apply_rescues(opt, bns.l_pac, jobs, results, pair_regs)
 
         from .pe_batch import AlnBatcher
         batcher = AlnBatcher(opt, self.idx, queries)
         records: List[list] = [None] * B
         mates: List[object] = [None] * B
-        for p in range(B // 2):
-            regs2 = [list(pair_regs[p][0]), list(pair_regs[p][1])]
-            q2 = [queries[2 * p], queries[2 * p + 1]]
-            recs2, m2 = sam_pe_records(opt, bns, ref, pes,
-                                       (id_offset >> 1) + p, q2, regs2,
-                                       batcher=batcher,
-                                       qidx=(2 * p, 2 * p + 1))
-            records[2 * p], records[2 * p + 1] = recs2
-            mates[2 * p], mates[2 * p + 1] = m2
-        batcher.resolve()
+        with PROFILER.phase("pe_records"):
+            for p in range(B // 2):
+                regs2 = [list(pair_regs[p][0]), list(pair_regs[p][1])]
+                q2 = [queries[2 * p], queries[2 * p + 1]]
+                recs2, m2 = sam_pe_records(
+                    opt, bns, ref, pes, (id_offset >> 1) + p, q2,
+                    regs2, batcher=batcher, qidx=(2 * p, 2 * p + 1))
+                records[2 * p], records[2 * p + 1] = recs2
+                mates[2 * p], mates[2 * p + 1] = m2
+        with PROFILER.phase("pe_cigar_resolve"):
+            batcher.resolve()
         return records, mates
 
     def align_pairs_and_finalize(self, codes: np.ndarray,
