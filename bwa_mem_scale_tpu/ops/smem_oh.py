@@ -99,7 +99,13 @@ class _Stacks:
     """Two interval stacks (prev=A / curr=B) as double buffers with a
     per-lane `which` bit: A is buf[wA], B is buf[1-wA]. No copies at
     round turnover — the bit flips (the readlane machine's tree_map
-    where-copy cost ~8 full [T, L] rewrites per tick)."""
+    where-copy cost ~8 full [T, L] rewrites per tick).
+
+    The two buffers live as a TUPLE per field (not a stacked [2,T,L]
+    array): a per-push jnp.stack would materialize an extra full copy
+    of both buffers per entry per field — pure HBM traffic with no
+    compute. The `n` field (a column index < L) is int16: half the
+    write traffic of the int32 it replaces."""
 
     FIELDS = ("k", "l", "s", "n")
 
@@ -108,16 +114,17 @@ class _Stacks:
 
     @staticmethod
     def init(T, L, pos_dtype):
-        z = lambda dt: jnp.zeros((2, T, L), dt)
+        z = lambda dt: (jnp.zeros((T, L), dt), jnp.zeros((T, L), dt))
         return dict(k=z(pos_dtype), l=z(pos_dtype), s=z(pos_dtype),
-                    n=z(jnp.int32), wA=jnp.zeros((T,), bool))
+                    n=z(jnp.int16), wA=jnp.zeros((T,), bool))
 
     @staticmethod
     def read_a(st, f, i):
         """A-stack field f at per-lane index i."""
         v0 = _oh_read(st[f][0], i)
         v1 = _oh_read(st[f][1], i)
-        return jnp.where(st["wA"], v1, v0)
+        v = jnp.where(st["wA"], v1, v0)
+        return v.astype(jnp.int32) if f == "n" else v
 
     @staticmethod
     def push_rows(st, to_a, entries, cnt):
@@ -130,10 +137,9 @@ class _Stacks:
             tgt1 = st["wA"] if to_a else ~st["wA"]   # buffer 1?
             vals = dict(k=k, l=l, s=s, n=n)
             for f in _Stacks.FIELDS:
-                buf = st[f]
-                b0 = _oh_write(buf[0], c, vals[f], do & ~tgt1)
-                b1 = _oh_write(buf[1], c, vals[f], do & tgt1)
-                st[f] = jnp.stack([b0, b1])
+                b0, b1 = st[f]
+                st[f] = (_oh_write(b0, c, vals[f], do & ~tgt1),
+                         _oh_write(b1, c, vals[f], do & tgt1))
             c = c + do.astype(jnp.int32)
         return st, c
 
@@ -164,8 +170,9 @@ def one_pos_machine_oh(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
     t_mi_p = jnp.asarray(t_mi).astype(pos_dtype)
 
     # one-time panel gather: the lane's read codes (no refill — each
-    # lane owns exactly one task)
-    panel0 = codes[jnp.clip(t_read, 0, B - 1)].astype(jnp.int32)
+    # lane owns exactly one task). int8: the per-tick column reads are
+    # [T, L] masked reductions — byte lanes quarter their HBM traffic.
+    panel0 = codes[jnp.clip(t_read, 0, B - 1)].astype(jnp.int8)
 
     len0 = jnp.where(t_valid, lens[jnp.clip(t_read, 0, B - 1)], 0
                      ).astype(jnp.int32)
@@ -213,9 +220,9 @@ def one_pos_machine_oh(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
         stk = st["stk"]
 
         # ----- panel column reads (one-hot; INIT x, FWD j..j+K-1)
-        xa = _oh_read(panel, st["x"])
-        a_j = _oh_read(panel, st["j"])
-        step_cs = [_oh_read(panel, st["j"] + d)
+        xa = _oh_read(panel, st["x"]).astype(jnp.int32)
+        a_j = _oh_read(panel, st["j"]).astype(jnp.int32)
+        step_cs = [_oh_read(panel, st["j"] + d).astype(jnp.int32)
                    for d in range(1, ksteps)]
         x_ok = (st["x"] < lens_t) & (xa < 4)
         xac = jnp.clip(xa, 0, 3)
@@ -535,7 +542,8 @@ def one_pos_machine_oh(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
                                  jnp.int32(P_DONE))
         st2["orow"] = jnp.where(valid, g(st["orow"]),
                                 jnp.int32(OUTB))
-        stk2 = {f: st["stk"][f][:, perm] for f in _Stacks.FIELDS}
+        stk2 = {f: (st["stk"][f][0][perm], st["stk"][f][1][perm])
+                for f in _Stacks.FIELDS}
         stk2["wA"] = g(st["stk"]["wA"])
         st2["stk"] = stk2
         lo = st["out"]
@@ -566,7 +574,7 @@ def seed_strategy_machine_oh(fmi: DeviceFMIndex, codes, lens,
     lens = jnp.asarray(lens)
     use2 = getattr(fmi, "cp2_fused", None) is not None
     mx = jnp.asarray(max_intv, pos_dtype)
-    panel = codes.astype(jnp.int32)          # lane t == read t
+    panel = codes.astype(jnp.int8)           # lane t == read t
 
     st0 = dict(
         phase=jnp.full((T,), P_INIT, jnp.int32),
@@ -589,8 +597,8 @@ def seed_strategy_machine_oh(fmi: DeviceFMIndex, codes, lens,
         is_fwd = phase == P_FWD
         lens_t = st["len"]
 
-        xa = _oh_read(panel, st["x"])
-        a_j = _oh_read(panel, st["j"])
+        xa = _oh_read(panel, st["x"]).astype(jnp.int32)
+        a_j = _oh_read(panel, st["j"]).astype(jnp.int32)
         x_ok = (st["x"] < lens_t) & (xa < 4)
         xac = jnp.clip(xa, 0, 3)
         ac = jnp.clip(a_j, 0, 3)
@@ -599,7 +607,7 @@ def seed_strategy_machine_oh(fmi: DeviceFMIndex, codes, lens,
         msl_at = lambda col: (col - st["x"] + 1) >= min_seed_len
 
         if use2:
-            b_j = _oh_read(panel, st["j"] + 1)
+            b_j = _oh_read(panel, st["j"] + 1).astype(jnp.int32)
             bc = jnp.clip(b_j, 0, 3)
             from .occ import forward_ext2
             (nk, nl, ns), (nk2, nl2, ns2) = forward_ext2(

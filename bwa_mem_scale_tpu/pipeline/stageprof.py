@@ -37,6 +37,13 @@ def _seed_bufs(aligner, fmi, codes, lens, fma, ert):
             min_seed_len=opt.min_seed_len, split_len=opt.split_len,
             split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
             max_out=cfg.max_smem_out or L, lanes=cfg.seed_lanes)
+    if cfg.seed_engine == "onehot":
+        from ..ops.smem_oh import collect_smems_oh
+        return collect_smems_oh(
+            fmi, codes, lens,
+            min_seed_len=opt.min_seed_len, split_len=opt.split_len,
+            split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
+            max_out=cfg.max_smem_out or L)
     from ..ops.smem import collect_smems_device
     return collect_smems_device(
         fmi, codes, lens,

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import bench
 from bwa_mem_scale_tpu.config import MemOptions
 from bwa_mem_scale_tpu.models.aligner import simulate_reads
-from bwa_mem_scale_tpu.ops.smem_rl import collect_smems_rl
+from bwa_mem_scale_tpu.ops.smem_oh import collect_smems_oh
 from bwa_mem_scale_tpu.ops.sal import expand_and_lookup
 from bwa_mem_scale_tpu.ops.chain import (chain_seeds_device,
                                          chain_filter_device,
@@ -51,18 +51,18 @@ def main():
 
     @jax.jit
     def s1(f, c, l):
-        return collect_smems_rl(f, c, l, **kw).cnt
+        return collect_smems_oh(f, c, l, **kw).cnt
 
     @jax.jit
     def s2(f, c, l):
-        bufs = collect_smems_rl(f, c, l, **kw)
+        bufs = collect_smems_oh(f, c, l, **kw)
         rbeg, seed_idx, cv, total, _of = expand_and_lookup(
             f, bufs, opt.max_occ, cfg.max_coords)
         return rbeg.sum() + total.sum()
 
     @jax.jit
     def s3(f, d, c, l):
-        bufs = collect_smems_rl(f, c, l, **kw)
+        bufs = collect_smems_oh(f, c, l, **kw)
         rbeg, seed_idx, cv, total, _of = expand_and_lookup(
             f, bufs, opt.max_occ, cfg.max_coords)
         ch = chain_seeds_device(
