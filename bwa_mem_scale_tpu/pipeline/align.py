@@ -83,11 +83,17 @@ class PipelineConfig:
 
 def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
                       L: int, *, opt: MemOptions, cfg: "PipelineConfig",
-                      fma=None, ert=None):
+                      fma=None, ert=None, cut: str = None):
     """Device stage 1: seeding -> chaining -> extension for one batch.
 
     Free function so multi-chip wrappers (parallel/mesh.py) can shard it
     with shard_map; TpuAligner jits it with captured index state.
+
+    `cut` (jit-static, profiling only — tools/bench_extend.py) returns
+    early with a live reduction over the named prefix: "enum" (candidate
+    enumeration incl. argsorts + rmax), "seqs" (+pair compaction and
+    extension sequence gathers), "bsw1" (+left BSW round 1), "bswL"
+    (+left retry), "bswLR1" (+right round 1).
     """
     B = codes.shape[0]
     bidx = jnp.arange(B)
@@ -191,6 +197,9 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
     sel = cand_order[:, :R]                            # [B, R]
     sel_valid = jnp.take_along_axis(flat_key, sel, axis=1) < (1 << 30)
     reg_overflow = (jnp.sum(svalid.reshape(B, C * S), axis=1) > R)
+
+    if cut == "enum":
+        return dict(dbg=sel.sum() + sel_valid.sum())
 
     sel_pos = sel // S                                 # sorted chain pos
     sel_sidx = sel % S                                 # raw seed index
@@ -303,6 +312,10 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
     do_right = p_valid & (p_qe < p_lens)
     h0_l = (p_len * a_).astype(jnp.int32)
 
+    if cut == "seqs":
+        return dict(dbg=(q_l.sum() + t_l.sum() + q_r.sum() + t_r.sum()
+                         + tl_len.sum() + tr_len.sum() + h0_l.sum()))
+
     def run_bsw(q, qlen, t, tlen, h0, wv):
         return banded_swa_batch(
             q.astype(jnp.int32), qlen, t, tlen, h0, wv,
@@ -316,6 +329,8 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
     # ---- left extension with band-doubling retry ----
     resL1 = run_bsw(q_l, jnp.where(do_left, ql_len, 0),
                     t_l, jnp.where(do_left, tl_len, 0), h0_l, w_)
+    if cut == "bsw1":
+        return dict(dbg=resL1.score.sum() + resL1.qle.sum())
     acc1 = resL1.max_off < ((w_ >> 1) + (w_ >> 2))
     need2 = do_left & ~acc1
     resL2 = run_bsw(q_l, jnp.where(need2, ql_len, 0), t_l,
@@ -336,9 +351,14 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
                        p_len * a_)
     a_w = jnp.where(do_left, jnp.maximum(w_, wL), w_)
 
+    if cut == "bswL":
+        return dict(dbg=score_l.sum() + qb.sum() + truesc.sum())
+
     # ---- right extension (h0 = left score) ----
     resR1 = run_bsw(q_r, jnp.where(do_right, qr_len, 0), t_r,
                     jnp.where(do_right, tr_len, 0), score_l, w_)
+    if cut == "bswLR1":
+        return dict(dbg=resR1.score.sum() + resR1.qle.sum())
     accR1 = ((resR1.score == score_l)
              | (resR1.max_off < ((w_ >> 1) + (w_ >> 2))))
     needR2 = do_right & ~accR1
