@@ -147,10 +147,22 @@ class DeviceFMIndex:
         exceeds 32 bits ("indices exceed 32-bits" at AOT compile, hit
         at hg38 scale on real hardware). Pack the byte reference
         [n] -> [ceil(n/16), 16]: row indices fit int32, the lane is
-        selected one-hot (ref_byte)."""
+        selected one-hot (ref_byte).
+
+        Either layout is zero-padded to a 128-byte multiple so the
+        block row-gather window fetch (ops/window.ref_windows) can
+        reshape it to 128-wide rows; tiny refs (< 4 KiB, test
+        genomes) stay unpadded — padding there could flip ref_byte's
+        forward-only-layout inference, and they take ref_windows'
+        per-element fallback anyway."""
         if ref.shape[0] <= REF_2D_LIMIT:
+            if ref.shape[0] >= 4096:
+                pad = (-ref.shape[0]) % 128
+                if pad:
+                    ref = np.concatenate(
+                        [ref, np.zeros(pad, dtype=ref.dtype)])
             return ref
-        pad = (-ref.shape[0]) % 16
+        pad = (-ref.shape[0]) % 128
         if pad:
             ref = np.concatenate([ref, np.zeros(pad, dtype=ref.dtype)])
         return ref.reshape(-1, 16)

@@ -285,28 +285,28 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
     p_lens = jnp.where(p_valid, lens[p_read], 0).astype(jnp.int32)
 
     # ---- build extension pair sequences [PX, ...] ----
+    # Windowed staging (ops/window.py): block row-gathers + static
+    # rolls instead of per-element gathers — the SoA SeqPair fill of
+    # mem_chain2aln_across_reads_V2 (src/bwamem.cpp:2976-3188), which
+    # as element gathers cost a third of the extend program on TPU.
     TL = L + 2 * w_ + cfg.target_pad
-    t_iota = jnp.arange(TL, dtype=jnp.int64)[None, :]
-    q_iota = jnp.arange(L, dtype=jnp.int32)[None, :]
+    from ..ops.window import take_windows, ref_windows
     p_codes = codes[p_read]                            # [PX, L]
 
     # left: query reversed prefix, target reversed ref[rm0:rbeg]
     ql_len = jnp.where(p_valid, p_qbeg, 0)
-    q_l = jnp.take_along_axis(
-        p_codes, jnp.clip(p_qbeg[:, None] - 1 - q_iota, 0, L - 1),
-        axis=1)
-    from ..ops.occ import ref_byte
+    q_l = take_windows(p_codes, p_qbeg - 1, L, reverse=True)
     tl_len = jnp.where(p_valid, p_rbeg - p_rm0, 0).astype(jnp.int32)
-    t_l = ref_byte(fmi.ref, p_rbeg[:, None] - 1 - t_iota, dbns.l_pac)
+    t_l = ref_windows(fmi.ref, p_rbeg - 1, TL, dbns.l_pac,
+                      reverse=True)
 
     # right: query suffix from qe, target ref[rbeg+len : rm1]
     p_qe = p_qbeg + p_len
     qr_len = jnp.where(p_valid, p_lens - p_qe, 0)
-    q_r = jnp.take_along_axis(
-        p_codes, jnp.clip(p_qe[:, None] + q_iota, 0, L - 1), axis=1)
+    q_r = take_windows(p_codes, p_qe, L)
     re0 = p_rbeg + p_len.astype(jnp.int64)
     tr_len = jnp.where(p_valid, p_rm1 - re0, 0).astype(jnp.int32)
-    t_r = ref_byte(fmi.ref, re0[:, None] + t_iota, dbns.l_pac)
+    t_r = ref_windows(fmi.ref, re0, TL, dbns.l_pac)
 
     do_left = p_valid & (p_qbeg > 0)
     do_right = p_valid & (p_qe < p_lens)
