@@ -79,6 +79,9 @@ class PipelineConfig:
     # backlog as they finish (kt_for-style dynamic scheduling) —
     # None = one lane per read (no refill).
     seed_lanes: Optional[int] = None
+    # "auto": Pallas VMEM-resident kernel on TPU (ops/bsw_pallas.py,
+    # chip A/B 4.5x vs jnp), jnp elsewhere; "pallas"/"jnp" force.
+    bsw_engine: str = "auto"
 
 
 def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
@@ -316,8 +319,17 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
         return dict(dbg=(q_l.sum() + t_l.sum() + q_r.sum() + t_r.sum()
                          + tl_len.sum() + tr_len.sum() + h0_l.sum()))
 
+    bsw_eng = cfg.bsw_engine
+    if bsw_eng == "auto":
+        bsw_eng = ("pallas" if jax.default_backend() == "tpu"
+                   else "jnp")
+    if bsw_eng == "pallas":
+        from ..ops.bsw_pallas import banded_swa_batch_pallas as _bsw
+    else:
+        _bsw = banded_swa_batch
+
     def run_bsw(q, qlen, t, tlen, h0, wv):
-        return banded_swa_batch(
+        return _bsw(
             q.astype(jnp.int32), qlen, t, tlen, h0, wv,
             opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
             opt.zdrop, opt.mat)
@@ -644,7 +656,8 @@ class TpuAligner:
                 max_regs=max(512, 4 * c.max_regs),
                 max_pairs=0,    # set below: full B*R, no pair drops
                 target_pad=c.target_pad,
-                seed_engine=c.seed_engine)
+                seed_engine=c.seed_engine,
+                bsw_engine=c.bsw_engine)
             cfg_big.max_pairs = self.RETRY_BATCH * cfg_big.max_regs
             self._retry_cfg = cfg_big
             self._retry_fn = jax.jit(
@@ -667,7 +680,8 @@ class TpuAligner:
                 max_regs=2 * c1.max_regs,
                 max_pairs=0,
                 target_pad=c1.target_pad,
-                seed_engine=c1.seed_engine)
+                seed_engine=c1.seed_engine,
+                bsw_engine=c1.bsw_engine)
             cfg2.max_pairs = self.RETRY2_BATCH * cfg2.max_regs
             self._retry2_fn = jax.jit(
                 partial(seed_chain_extend, opt=self.opt, cfg=cfg2),
