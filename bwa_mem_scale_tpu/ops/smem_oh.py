@@ -113,8 +113,8 @@ class _Stacks:
         self.st = st
 
     @staticmethod
-    def init(T, L, pos_dtype):
-        z = lambda dt: (jnp.zeros((T, L), dt), jnp.zeros((T, L), dt))
+    def init(T, SD, pos_dtype):
+        z = lambda dt: (jnp.zeros((T, SD), dt), jnp.zeros((T, SD), dt))
         return dict(k=z(pos_dtype), l=z(pos_dtype), s=z(pos_dtype),
                     n=z(jnp.int16), wA=jnp.zeros((T,), bool))
 
@@ -147,12 +147,21 @@ class _Stacks:
 def one_pos_machine_oh(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
                        t_mi, t_valid, chain_restarts: bool,
                        min_seed_len: int, max_out: int,
-                       out: SmemBuf, with_ticks: bool = False):
+                       out: SmemBuf, with_ticks: bool = False,
+                       stack_depth: int = None):
     """One lane per task; lane t emits into out row t (callers pass
     per-task buffers; one_pos_machine's out_rows indirection is
     applied by the caller afterwards where needed). Contract and
     output match ops/smem_rl.one_pos_machine(lanes=None,
-    out_rows=arange) bit for bit."""
+    out_rows=arange) bit for bit.
+
+    `stack_depth` < L shrinks the interval stacks from the provably-
+    sufficient [T, L] to [T, SD]: per-tick stack traffic is the
+    machine's largest HBM term, and measured occupancy is a fraction
+    of L. A lane whose stack would overflow is latched and its output
+    row's cnt forced past the buffer width, which the caller's
+    existing capacity check converts into an overflow retry at full
+    shapes — dropped pushes therefore never reach emitted output."""
     N = t_read.shape[0]
     T = N
     B, L = codes.shape
@@ -168,6 +177,7 @@ def one_pos_machine_oh(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
 
     t_x = jnp.asarray(t_x).astype(jnp.int32)
     t_mi_p = jnp.asarray(t_mi).astype(pos_dtype)
+    SD = stack_depth or L
 
     # one-time panel gather: the lane's read codes (no refill — each
     # lane owns exactly one task). int8: the per-tick column reads are
@@ -189,7 +199,8 @@ def one_pos_machine_oh(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
         cl=jnp.zeros((T,), pos_dtype),
         cs=jnp.zeros((T,), pos_dtype),
         cn=jnp.zeros((T,), jnp.int32),
-        stk=_Stacks.init(T, L, pos_dtype),
+        of=jnp.zeros((T,), bool),
+        stk=_Stacks.init(T, SD, pos_dtype),
         cntA=jnp.zeros((T,), jnp.int32),
         cntB=jnp.zeros((T,), jnp.int32),
         mA=jnp.zeros((T,), jnp.int32),
@@ -410,6 +421,11 @@ def one_pos_machine_oh(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
                 stk, False, [(keep_b, nk, nl, ns, pn)], cntB)
             curr_s = jnp.where(keep_b, ns, curr_s)
 
+        # stack-overflow latch: cnt past SD means a push was dropped
+        # by _oh_write's range mask — taken before the epilogue can
+        # reset the counters
+        of = st["of"] | (cntA > SD) | (cntB > SD)
+
         b_any = bs_run | bt_run
         if use2:
             bt_adv = 3 if tail3 else 2
@@ -478,7 +494,7 @@ def one_pos_machine_oh(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
 
         st2 = dict(orow=st["orow"], phase=phase2, len=st["len"],
                    mi=mi, x=x2, nx=nx,
-                   j=j, ck=ck, cl=cl, cs=cs, cn=cn, stk=stk,
+                   j=j, ck=ck, cl=cl, cs=cs, cn=cn, stk=stk, of=of,
                    cntA=cntA, cntB=cntB, mA=mA, p=p, rev=rev,
                    curr_s=curr_s, kept=kept, tick=st["tick"] + 1,
                    out=out_b)
@@ -519,13 +535,17 @@ def one_pos_machine_oh(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
         done = st["phase"] == P_DONE
         rows = jnp.where(done, st["orow"], OUTB)
         lo = st["out"]
+        # stack-overflowed lanes report cnt >= capacity so the
+        # caller's capacity check routes the read to the retry ladder
+        cnt = jnp.where(st["of"], jnp.int32(M_out + 1),
+                        lo.cnt.astype(jnp.int32))
         return SmemBuf(
             glob.m.at[rows].set(lo.m, mode="drop"),
             glob.n.at[rows].set(lo.n, mode="drop"),
             glob.k.at[rows].set(lo.k, mode="drop"),
             glob.l.at[rows].set(lo.l, mode="drop"),
             glob.s.at[rows].set(lo.s, mode="drop"),
-            glob.cnt.at[rows].set(lo.cnt, mode="drop"))
+            glob.cnt.at[rows].set(cnt, mode="drop"))
 
     st, pan = st0, panel0
     for W2 in widths:
@@ -537,7 +557,8 @@ def one_pos_machine_oh(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
         g = lambda a: a[perm]
         st2 = {k: g(st[k]) for k in
                ("len", "mi", "x", "nx", "j", "ck", "cl", "cs", "cn",
-                "cntA", "cntB", "mA", "p", "rev", "curr_s", "kept")}
+                "cntA", "cntB", "mA", "p", "rev", "curr_s", "kept",
+                "of")}
         st2["phase"] = jnp.where(valid, g(st["phase"]),
                                  jnp.int32(P_DONE))
         st2["orow"] = jnp.where(valid, g(st["orow"]),
@@ -685,21 +706,33 @@ def seed_strategy_machine_oh(fmi: DeviceFMIndex, codes, lens,
 def collect_smems_oh(fmi: DeviceFMIndex, codes, lens, *,
                      min_seed_len: int, split_len: int,
                      split_width: int, max_mem_intv: int,
-                     max_out: int = None):
+                     max_out: int = None, emit_depth: int = None,
+                     stack_depth: int = None):
     """Three-pass SMEM collection on the one-hot machines; output is
     bit-identical to collect_smems_rl / collect_smems_device
-    (mem_collect_smem, src/bwamem.cpp:648-795)."""
+    (mem_collect_smem, src/bwamem.cpp:648-795).
+
+    `emit_depth` / `stack_depth` shrink the per-lane emission buffers
+    and interval stacks below the provably-sufficient L (measured
+    occupancy at E. coli/chr21 scale: cnt max 4-5 of 101 slots — the
+    oversize was pure HBM traffic every tick). A read that exceeds
+    either budget in ANY pass reports cnt >= capacity, which
+    seed_chain_extend's capacity check routes into the overflow-retry
+    ladder at full shapes — output stays exactly equal to the
+    full-size machine."""
     from .smem import _emit_compact, compact_indices
 
     B, L = codes.shape
     M = max_out or L
+    Me = min(emit_depth, M) if emit_depth else M
     bidx = jnp.arange(B, dtype=jnp.int32)
     zi = jnp.zeros((B,), jnp.int32)
 
     p1 = one_pos_machine_oh(
         fmi, codes, lens, bidx, zi, jnp.ones((B,), jnp.int32),
-        lens > 0, True, min_seed_len, M,
-        SmemBuf.empty(B, M, fmi.pos_dtype))
+        lens > 0, True, min_seed_len, Me,
+        SmemBuf.empty(B, Me, fmi.pos_dtype), stack_depth=stack_depth)
+    p1_of = p1.cnt >= Me
 
     M1 = p1.m.shape[1]
     valid = jnp.arange(M1)[None, :] < p1.cnt[:, None]
@@ -717,18 +750,24 @@ def collect_smems_oh(fmi: DeviceFMIndex, codes, lens, *,
     t_mi = jnp.where(t_valid, p1.s[t_read, t_slot] + 1, 1)
     p2t = one_pos_machine_oh(
         fmi, codes, lens, t_read, t_x.astype(jnp.int32),
-        t_mi.astype(jnp.int32), t_valid, False, min_seed_len, M,
-        SmemBuf.empty(T, M, fmi.pos_dtype))
-    tmask = (jnp.arange(M)[None, :] < p2t.cnt[:, None]) \
+        t_mi.astype(jnp.int32), t_valid, False, min_seed_len, Me,
+        SmemBuf.empty(T, Me, fmi.pos_dtype), stack_depth=stack_depth)
+    p2_of = jnp.zeros((B,), bool).at[
+        jnp.where(t_valid, t_read, B)].max(
+        (p2t.cnt >= Me) & t_valid, mode="drop")
+    tmask = (jnp.arange(Me)[None, :] < p2t.cnt[:, None]) \
         & t_valid[:, None]
     p2 = _emit_compact(tmask, p2t.m, p2t.n, p2t.k, p2t.l, p2t.s,
-                       SmemBuf.empty(B, M, fmi.pos_dtype),
+                       SmemBuf.empty(B, Me, fmi.pos_dtype),
                        rows=t_read)
 
     parts = [p1, p2]
+    pass_of = p1_of | p2_of | reseed_of
     if max_mem_intv > 0:
-        parts.append(seed_strategy_machine_oh(
-            fmi, codes, lens, max_mem_intv, min_seed_len + 1, M))
+        p3 = seed_strategy_machine_oh(
+            fmi, codes, lens, max_mem_intv, min_seed_len + 1, Me)
+        parts.append(p3)
+        pass_of = pass_of | (p3.cnt >= Me)
     combined = concat_smems(*parts)
     valid = jnp.concatenate(
         [jnp.arange(b.m.shape[1])[None, :] < b.cnt[:, None]
@@ -737,6 +776,6 @@ def collect_smems_oh(fmi: DeviceFMIndex, codes, lens, *,
     key = jnp.where(valid, key, jnp.int32(2 ** 30))
     order = jnp.argsort(key, axis=1)
     take = lambda arr: jnp.take_along_axis(arr, order, axis=1)
-    cnt = jnp.where(reseed_of, combined.m.shape[1], combined.cnt)
+    cnt = jnp.where(pass_of, combined.m.shape[1], combined.cnt)
     return SmemBuf(take(combined.m), take(combined.n), take(combined.k),
                    take(combined.l), take(combined.s), cnt)

@@ -82,6 +82,13 @@ class PipelineConfig:
     # "auto": Pallas VMEM-resident kernel on TPU (ops/bsw_pallas.py,
     # chip A/B 4.5x vs jnp), jnp elsewhere; "pallas"/"jnp" force.
     bsw_engine: str = "auto"
+    # one-hot machine per-lane emission-buffer / interval-stack
+    # depths (None = full read length, provably sufficient). Measured
+    # occupancy is a small fraction of L; a read exceeding either
+    # budget is routed to the overflow-retry ladder (full shapes), so
+    # output is unchanged. The retry tiers always run with None.
+    seed_emit_depth: Optional[int] = 24
+    seed_stack_depth: Optional[int] = 24
 
 
 def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
@@ -122,7 +129,9 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
             fmi, codes, lens,
             min_seed_len=opt.min_seed_len, split_len=opt.split_len,
             split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
-            max_out=cfg.max_smem_out or L)
+            max_out=cfg.max_smem_out or L,
+            emit_depth=cfg.seed_emit_depth,
+            stack_depth=cfg.seed_stack_depth)
     else:
         bufs = collect_smems_device(
             fmi, codes, lens,
@@ -657,7 +666,8 @@ class TpuAligner:
                 max_pairs=0,    # set below: full B*R, no pair drops
                 target_pad=c.target_pad,
                 seed_engine=c.seed_engine,
-                bsw_engine=c.bsw_engine)
+                bsw_engine=c.bsw_engine,
+                seed_emit_depth=None, seed_stack_depth=None)
             cfg_big.max_pairs = self.RETRY_BATCH * cfg_big.max_regs
             self._retry_cfg = cfg_big
             self._retry_fn = jax.jit(
@@ -681,7 +691,8 @@ class TpuAligner:
                 max_pairs=0,
                 target_pad=c1.target_pad,
                 seed_engine=c1.seed_engine,
-                bsw_engine=c1.bsw_engine)
+                bsw_engine=c1.bsw_engine,
+                seed_emit_depth=None, seed_stack_depth=None)
             cfg2.max_pairs = self.RETRY2_BATCH * cfg2.max_regs
             self._retry2_fn = jax.jit(
                 partial(seed_chain_extend, opt=self.opt, cfg=cfg2),

@@ -130,3 +130,41 @@ def test_collect_oh_staged_narrowing(small_index, dev_index,
         got = collect_smems_oh(dev_index, jnp.asarray(codes),
                                jnp.asarray(lens), **kw)
         _assert_bufs_equal(ref, got)
+
+
+def test_collect_oh_skinny_buffers(small_index, dev_index):
+    """emit_depth/stack_depth shrink HBM state; non-overflowing reads
+    must be bit-identical, overflowing reads must report cnt >=
+    capacity (the retry-ladder signal) rather than silently truncate."""
+    codes, lens = _read_set(small_index)
+    opt = MemOptions()
+    kw = dict(min_seed_len=opt.min_seed_len, split_len=opt.split_len,
+              split_width=opt.split_width,
+              max_mem_intv=opt.max_mem_intv)
+    ref = collect_smems_oh(dev_index, jnp.asarray(codes),
+                           jnp.asarray(lens), **kw)
+    ref_cnt = np.asarray(ref.cnt)
+    for ed, sd in ((24, 24), (8, 6), (4, 3)):
+        got = collect_smems_oh(dev_index, jnp.asarray(codes),
+                               jnp.asarray(lens), emit_depth=ed,
+                               stack_depth=sd, **kw)
+        got_cnt = np.asarray(got.cnt)
+        cap = got.m.shape[1]
+        of = got_cnt >= cap
+        # overflow reads: flagged, not silently wrong
+        # clean reads: identical entry lists
+        for f in ("m", "n", "k", "l", "s"):
+            gv, rv = np.asarray(getattr(got, f)), np.asarray(
+                getattr(ref, f))
+            for i in range(len(ref_cnt)):
+                if of[i]:
+                    continue
+                assert got_cnt[i] == ref_cnt[i], (ed, sd, i)
+                np.testing.assert_array_equal(
+                    gv[i, :got_cnt[i]], rv[i, :got_cnt[i]],
+                    err_msg=f"field {f} read {i} ed={ed} sd={sd}")
+    # the tightest config must flag at least one read on this set
+    got = collect_smems_oh(dev_index, jnp.asarray(codes),
+                           jnp.asarray(lens), emit_depth=4,
+                           stack_depth=3, **kw)
+    assert (np.asarray(got.cnt) >= got.m.shape[1]).any()
