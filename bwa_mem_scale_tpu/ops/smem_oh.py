@@ -521,7 +521,14 @@ def one_pos_machine_oh(fmi: DeviceFMIndex, codes, lens, t_read, t_x,
     if with_ticks or stages_env == "0":
         widths = []
     elif stages_env == "auto":
-        widths = [w for w in (T // 2, T // 4) if w >= 256]
+        # halve until 256 lanes: at bench width the unstaged machine
+        # idles ~2/3 of its lane-ticks in the DONE tail; stage
+        # transitions are cheap [W]-row gathers
+        widths = []
+        w = T // 2
+        while w >= 256:
+            widths.append(w)
+            w //= 2
     else:
         widths = [int(w) for w in stages_env.split(",")
                   if 0 < int(w) < T]

@@ -828,11 +828,31 @@ class TpuAligner:
         th.start()
         return (codes, lens, pm_dev, out, {"thread": th, "slot": slot})
 
+    def fetch_extend(self, handle):
+        """Synchronously fetch the extend outputs (waits for the
+        device program). Returns the 5-tuple handle form that
+        finalize_stage_a consumes without re-fetching — letting the
+        caller dispatch the NEXT extend batch in the gap between the
+        fetch and the per-read host work (pipeline/stream.py), so the
+        device never idles through dedup/cigar_begin."""
+        if len(handle) == 5:
+            return handle
+        codes, lens, pm_dev, out = handle
+        slot = {"packed": np.asarray(out["packed"]),
+                "meta": np.asarray(out["meta"])}
+        if pm_dev is not None:
+            slot["pm_cs"] = np.asarray(jnp.stack(
+                [pm_dev["code"].astype(jnp.int64),
+                 pm_dev["slot"].astype(jnp.int64),
+                 pm_dev["loc"]], axis=1))
+        return (codes, lens, pm_dev, out, {"slot": slot})
+
     @staticmethod
     def _join_prefetch(handle):
         if len(handle) == 5:
             pf = handle[4]
-            pf["thread"].join()
+            if "thread" in pf:
+                pf["thread"].join()
             if "err" in pf["slot"]:
                 raise pf["slot"]["err"]
             return handle[:4], pf["slot"]

@@ -121,24 +121,35 @@ class SeStream:
         # Ordering is built around the axon queue being depth-1: a
         # dispatch while another program runs BLOCKS until it finishes
         # (measured: a tiny jit call behind the 0.6 s seeder blocked
-        # 513 ms). So: (1) advance the pipeline FIRST — the extend(i-1)
-        # fetch is the natural sync point and the cigar DP then lands
-        # on an idle device; (2) enqueue extend(i) right behind the
-        # short cigar program (~0.1 s block); (3) do all remaining
-        # host work — cigar fetch + record building — while extend(i)
-        # runs.
+        # 513 ms). So: (1) FETCH extend(i-1) — the natural sync point;
+        # (2) enqueue extend(i) onto the now-idle device immediately;
+        # (3) do ALL host work — unpack, dedup, cigar, records — while
+        # extend(i) runs. (A background-thread fetch was measured
+        # SLOWER: the concurrent fetch RPC contends with the running
+        # program on the tunnel. The synchronous fetch-then-dispatch
+        # split gets the same overlap without a concurrent RPC.)
+        # Exception: a batch with overflow retries runs its full
+        # finalize BEFORE the next dispatch — retries launch device
+        # programs of their own, which must not queue behind a 0.25 s
+        # extend.
+        held = []
         while self.pending:
             ids1, h = self.pending.popleft()
+            with PROFILER.phase("fetch_wait"):
+                h = self.al.fetch_extend(h)
+            if (h[4]["slot"]["meta"][:, 1] > 0.5).any():
+                with PROFILER.phase("finalize_a"):
+                    self.pending2.append(
+                        (ids1,
+                         self.al.finalize_stage_a(h, read_ids=ids1)))
+            else:
+                held.append((ids1, h))
+        with PROFILER.phase("dispatch_extend"):
+            handle = self.al.dispatch_batch(codes, lens, skip_emf=True)
+        for ids1, h in held:
             with PROFILER.phase("finalize_a"):
                 self.pending2.append(
                     (ids1, self.al.finalize_stage_a(h, read_ids=ids1)))
-        with PROFILER.phase("dispatch_extend"):
-            handle = self.al.dispatch_batch(codes, lens, skip_emf=True)
-            # NOTE: fetching on a background thread here (overlap the
-            # fetch wait with record work) was measured SLOWER (SE
-            # 3918 -> 3835, PE 2964 -> 2722 reads/s): the concurrent
-            # fetch RPC contends with the running program on the
-            # tunnel. Keep the fetch synchronous in finalize_a.
         # pad ids for dead lanes (their empty reg lists ignore the id)
         self.pending.append((ids + [-1] * (self.B - take), handle))
         while self.pending2:
