@@ -113,10 +113,24 @@ def brute_maximal_exact_matches(text, query, min_len, x):
 
 
 def test_smem_maximality(small_index):
-    """Pass-1 SMEMs are exactly the maximal exact matches >= min_seed_len."""
+    """Pass-1 SMEMs are exactly the maximal exact matches >= min_seed_len.
+
+    4 reads in the quick gate (the brute-force cross-product is
+    O(reads * len^2 * text)); the 12-read sweep runs in the slow suite
+    (test_smem_maximality_full)."""
+    _smem_maximality(small_index, n_reads=4)
+
+
+@pytest.mark.slow
+def test_smem_maximality_full(small_index):
+    _smem_maximality(small_index, n_reads=12)
+
+
+def _smem_maximality(small_index, n_reads):
     fm = FMOracle(small_index)
     text = small_index.ref_string
-    reads = sample_reads(small_index.bns, 12, 80, seed=3, err_rate=0.03)
+    reads = sample_reads(small_index.bns, n_reads, 80, seed=3,
+                         err_rate=0.03)
     opt = MemOptions()
     for codes, _, _ in reads:
         smems = fm.smems_all_pos(codes, 0, 1, opt.min_seed_len)

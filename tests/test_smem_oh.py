@@ -125,7 +125,7 @@ def test_collect_oh_staged_narrowing(small_index, dev_index,
     monkeypatch.setenv("BWATPU_SEED_STAGES", "0")
     ref = collect_smems_oh(dev_index, jnp.asarray(codes),
                            jnp.asarray(lens), **kw)
-    for sched in ("16", "16,8", "13,5,2", "1"):
+    for sched in ("16,8", "13,5,2", "1"):
         monkeypatch.setenv("BWATPU_SEED_STAGES", sched)
         got = collect_smems_oh(dev_index, jnp.asarray(codes),
                                jnp.asarray(lens), **kw)
@@ -144,7 +144,7 @@ def test_collect_oh_skinny_buffers(small_index, dev_index):
     ref = collect_smems_oh(dev_index, jnp.asarray(codes),
                            jnp.asarray(lens), **kw)
     ref_cnt = np.asarray(ref.cnt)
-    for ed, sd in ((24, 24), (8, 6), (4, 3)):
+    for ed, sd in ((24, 24), (4, 3)):
         got = collect_smems_oh(dev_index, jnp.asarray(codes),
                                jnp.asarray(lens), emit_depth=ed,
                                stack_depth=sd, **kw)
