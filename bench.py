@@ -431,10 +431,10 @@ def _genome_scale_extras():
                                            f"{prefix}.tpuidx.npz")):
             continue
         if base.startswith("hg38") and not os.path.exists(
-                os.path.join(repo, f"{prefix}.devlayout.npz")):
+                os.path.join(repo, f"{prefix}.devlayout3.npz")):
             # a cold hg38 start pays minutes of host transforms; only
             # bench it when the post-layout cache is in place
-            print("* hg38 sub-bench skipped (no .devlayout.npz cache)",
+            print("* hg38 sub-bench skipped (no .devlayout3.npz cache)",
                   file=sys.stderr)
             continue
         env = dict(os.environ, BENCH_CHILD="1",

@@ -146,8 +146,13 @@ class DeviceFMIndex:
         """XLA TPU cannot gather into a 1-D operand whose index space
         exceeds 32 bits ("indices exceed 32-bits" at AOT compile, hit
         at hg38 scale on real hardware). Pack the byte reference
-        [n] -> [ceil(n/16), 16]: row indices fit int32, the lane is
-        selected one-hot (ref_byte).
+        [n] -> [ceil(n/128), 128]: row indices fit int32, the lane is
+        selected one-hot (ref_byte). 128 (not 16) wide because a u8
+        operand's minor dim pads to the 128-lane tile — a [n/16, 16]
+        pack forced a layout copy 8x the logical size inside any
+        program that reshaped it (24.8 GB for hg38's forward strand,
+        OOM at compile), and lets ref_windows' [*, 128] row view be a
+        no-op reshape.
 
         Either layout is zero-padded to a 128-byte multiple so the
         block row-gather window fetch (ops/window.ref_windows) can
@@ -165,7 +170,7 @@ class DeviceFMIndex:
         pad = (-ref.shape[0]) % 128
         if pad:
             ref = np.concatenate([ref, np.zeros(pad, dtype=ref.dtype)])
-        return ref.reshape(-1, 16)
+        return ref.reshape(-1, 128)
 
     @classmethod
     def _int64_layout(cls, idx: FMIndex) -> dict:
@@ -204,7 +209,9 @@ class DeviceFMIndex:
             return cls.from_host(idx, cp2=cp2)
         if cp2 is not None:
             raise ValueError("k-step table is int32-path only")
-        path = idx.source_prefix + ".devlayout.npz"
+        # v3: ref packed [n/128, 128] (v1/v2 caches' [n/16, 16] pack
+        # triggers an 8x layout-copy OOM inside reshaping programs)
+        path = idx.source_prefix + ".devlayout3.npz"
         if not os.path.exists(path):
             lay = cls._int64_layout(idx)
             np.savez(path, **lay)
@@ -235,20 +242,23 @@ REF_2D_LIMIT = (1 << 31) - (1 << 20)
 
 
 def _ref_fetch(ref: jax.Array, idx: jax.Array) -> jax.Array:
-    """ref[idx] for both device layouts ([n] u8, or [n/16, 16] u8 for
-    hg38-class refs whose flat index space exceeds 32 bits)."""
+    """ref[idx] for both device layouts ([n] u8, or [n/128, 128] u8
+    for hg38-class refs whose flat index space exceeds 32 bits)."""
     if ref.ndim == 2:
-        rows = (idx >> 4).astype(jnp.int32)
-        lane = (idx & 15).astype(jnp.int32)
-        r = ref[rows]                               # [..., 16] u8
-        iota = jnp.arange(16, dtype=jnp.int32)
+        w = ref.shape[1]
+        sh = w.bit_length() - 1
+        rows = (idx >> sh).astype(jnp.int32)
+        lane = (idx & (w - 1)).astype(jnp.int32)
+        r = ref[rows]                               # [..., w] u8
+        iota = jnp.arange(w, dtype=jnp.int32)
         return jnp.sum(jnp.where(iota == lane[..., None], r, 0),
                        axis=-1, dtype=jnp.int32)
     return ref[idx].astype(jnp.int32)
 
 
 def ref_flat_len(ref: jax.Array) -> int:
-    return int(ref.shape[0]) * (16 if ref.ndim == 2 else 1)
+    return int(ref.shape[0]) * (int(ref.shape[1]) if ref.ndim == 2
+                                else 1)
 
 
 def ref_byte(ref: jax.Array, pos: jax.Array, l_pac: int) -> jax.Array:

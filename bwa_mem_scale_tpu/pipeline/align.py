@@ -86,9 +86,13 @@ class PipelineConfig:
     # depths (None = full read length, provably sufficient). Measured
     # occupancy is a small fraction of L; a read exceeding either
     # budget is routed to the overflow-retry ladder (full shapes), so
-    # output is unchanged. The retry tiers always run with None.
-    seed_emit_depth: Optional[int] = 24
-    seed_stack_depth: Optional[int] = 24
+    # output is unchanged. "auto" = 24 for int32-position genomes
+    # (E. coli/chr21: <1% overflow) and full for int64 genomes
+    # (hg38-class repeat density overflowed 62% of reads at depth 24
+    # — the retry ladder must stay the exception). The retry tiers
+    # always run with None.
+    seed_emit_depth: object = "auto"
+    seed_stack_depth: object = "auto"
 
 
 def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
@@ -125,13 +129,17 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
             max_out=cfg.max_smem_out or L, lanes=cfg.seed_lanes)
     elif cfg.seed_engine == "onehot":
         from ..ops.smem_oh import collect_smems_oh
+        small_pos = jnp.dtype(fmi.pos_dtype).itemsize <= 4
+        ed, sd = cfg.seed_emit_depth, cfg.seed_stack_depth
         bufs = collect_smems_oh(
             fmi, codes, lens,
             min_seed_len=opt.min_seed_len, split_len=opt.split_len,
             split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
             max_out=cfg.max_smem_out or L,
-            emit_depth=cfg.seed_emit_depth,
-            stack_depth=cfg.seed_stack_depth)
+            emit_depth=(24 if small_pos else None) if ed == "auto"
+            else ed,
+            stack_depth=(24 if small_pos else None) if sd == "auto"
+            else sd)
     else:
         bufs = collect_smems_device(
             fmi, codes, lens,
@@ -462,6 +470,10 @@ class TpuAligner:
         self.mesh = mesh            # jax.sharding.Mesh or None
         self.opt = opt or MemOptions()
         self.cfg = cfg or PipelineConfig()
+        if not idx.pos_fits_int32:
+            # hg38-class repeat density overflows ~20% of a batch
+            # (measured round 4) — fewer, larger tier-1 dispatches
+            self.RETRY_BATCH = 256
         self.fmi = DeviceFMIndex.from_host_cached(idx, cp2=cp2)
         self.dbns = DeviceBns.from_host(idx.bns)
         self.dfma = (fma.to_device(self.fmi.pos_dtype)
@@ -682,12 +694,17 @@ class TpuAligner:
         resort, not a common path)."""
         if getattr(self, "_retry2_fn", None) is None:
             c1 = self._retry_cfg
+            # hg38-class repeat monsters: 134/16384 reads still
+            # overflowed a 16k-coord tier 2 (measured round 4), and
+            # each oracle fallthrough costs seconds at 3 Gbp — size
+            # tier 2 so the oracle is vanishingly rare (batch is 8:
+            # the wide arrays are small)
             cfg2 = PipelineConfig(
                 max_smem_out=2 * c1.max_smem_out,
-                max_coords=4 * c1.max_coords,
-                max_chains=4 * c1.max_chains,
-                max_seeds_per_chain=2 * c1.max_seeds_per_chain,
-                max_regs=2 * c1.max_regs,
+                max_coords=16 * c1.max_coords,
+                max_chains=8 * c1.max_chains,
+                max_seeds_per_chain=4 * c1.max_seeds_per_chain,
+                max_regs=4 * c1.max_regs,
                 max_pairs=0,
                 target_pad=c1.target_pad,
                 seed_engine=c1.seed_engine,
