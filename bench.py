@@ -174,11 +174,15 @@ def get_aligner(kstep_k=None):
     # (measured round 3); provision 2x so the retry ladder is the
     # exception, not the path.
     big = not h["idx"].pos_fits_int32
+    # hg38 measured demand (round-4 probes): pairs mean 4.7/read with
+    # a 19k-batch peak (4*B = 16,384 was the dominant overflow
+    # driver), coords P100 = 720 at base 512.
     cfg = PipelineConfig(max_coords=512 if big else 256,
                          max_chains=64 if big else 32,
                          max_seeds_per_chain=16,
                          max_regs=64 if big else 32,
-                         max_pairs=4 * BATCH, seed_engine=SEED_ENGINE,
+                         max_pairs=(8 if big else 4) * BATCH,
+                         seed_engine=SEED_ENGINE,
                          seed_lanes=SEED_LANES)
     return TpuAligner(h["idx"], MemOptions(), cfg, fma=h["fma"],
                       emf=h["emf"], cp2=_load_cp2(kstep_k))

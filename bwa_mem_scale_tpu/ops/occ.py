@@ -577,3 +577,52 @@ def occ_and_base(fmi: DeviceFMIndex, pos: jax.Array):
     b = jnp.argmax(bits, axis=-1).astype(jnp.int32)
     b = jnp.where(jnp.sum(bits, axis=-1) == 0, 4, b)
     return occs, b
+
+
+def _sel_small_occ(table: jax.Array, i: jax.Array) -> jax.Array:
+    """table[i] for a tiny 1-D table at any index shape — one-hot
+    masked sum, no gather (see _take_c)."""
+    W = table.shape[0]
+    iota = jnp.arange(W, dtype=jnp.int32)
+    sel = iota == i[..., None].astype(jnp.int32)
+    return jnp.sum(jnp.where(sel, table, 0), axis=-1,
+                   dtype=table.dtype)
+
+
+def occ_b_and_base(fmi: DeviceFMIndex, pos: jax.Array):
+    """(occ(pos, BWT[pos]), BWT[pos]) — the lean SAL LF step.
+
+    Unlike occ_and_base it popcounts ONLY the loaded base's mask and,
+    on the int64 layout, one-hot-selects the low/high count words
+    BEFORE widening — occ_and_base materialized [N, 4] int64 counts +
+    4 popcounts per tick, ~2x the vector traffic the step needs
+    (tools/probe_sal_hg38: sa_lookup was 1.48 s/tick at 2M lanes,
+    0.6 s of it gathers)."""
+    block = (pos >> CP_SHIFT).astype(jnp.int32)
+    y = (pos & CP_MASK).astype(jnp.uint32)
+    if fmi.cp_fused is not None:
+        row = fmi.cp_fused[block]
+        counts4 = row[..., :4]
+        masks = jax.lax.bitcast_convert_type(row[..., 4:], jnp.uint32)
+        hi4 = None
+    else:
+        row = fmi.cp_fused32[block]                 # [..., 8] uint32
+        counts4 = row[..., :4]
+        masks = row[..., 4:]
+        hi4 = fmi.cp_hi[block]                      # [..., 4] uint8
+    yb = (jnp.uint32(31) - y)
+    bits = (masks >> yb[..., None]) & jnp.uint32(1)
+    b = jnp.argmax(bits, axis=-1).astype(jnp.int32)
+    b = jnp.where(jnp.sum(bits, axis=-1) == 0, 4, b)
+    bc = jnp.clip(b, 0, 3)
+    mask_b = _take_c(masks, bc)
+    top = (~(jnp.uint32(0xFFFFFFFF) >> y))
+    pc = jax.lax.population_count(mask_b & top)
+    cnt_b = _take_c(counts4, bc)
+    if hi4 is None:
+        occ_b = cnt_b + pc.astype(fmi.pos_dtype)
+    else:
+        occ_b = ((_take_c(hi4, bc).astype(jnp.int64) << 32)
+                 | cnt_b.astype(jnp.uint32).astype(jnp.int64)) \
+            + pc.astype(jnp.int64)
+    return occ_b, b

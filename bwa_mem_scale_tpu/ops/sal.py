@@ -15,7 +15,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .occ import DeviceFMIndex, occ_and_base, sa_sample_at, _take_c
+from .occ import (DeviceFMIndex, occ_b_and_base, sa_sample_at,
+                  _take_c, _sel_small_occ)
 from .smem import SmemBuf
 
 
@@ -24,7 +25,15 @@ def sa_lookup(fmi: DeviceFMIndex, pos: jax.Array, valid: jax.Array
     """Resolve SA[pos] for a batch of BWT row indices.
 
     pos [...], valid [...] bool (invalid lanes return 0).
-    """
+
+    The LF walk is GEOMETRIC: a lane finds a sampled row with
+    p = 1/2^sa_compx per step (the walk visits pseudo-random rows),
+    so the mean walk is 2^sa_compx but the slowest of N lanes runs
+    ~2^sa_compx * ln(N) steps — a lockstep machine wastes >90% of its
+    lane-ticks in that tail at batch widths (hg38 probe: 11 s for 2M
+    lanes). Staged narrowing (the seeding machines' fix) compacts
+    retired lanes out at halving width thresholds; 1-D state rows
+    make each stage a handful of cheap per-element gathers/scatters."""
     compx_mask = (1 << fmi.sa_compx) - 1
     pos_dtype = fmi.pos_dtype
     if fmi.sa_compx == 0:
@@ -33,19 +42,22 @@ def sa_lookup(fmi: DeviceFMIndex, pos: jax.Array, valid: jax.Array
         out = sa_sample_at(fmi, pos.astype(jnp.int64))
         return jnp.where(valid, out, 0)
 
-    def cond(st):
-        sp, offset, active, done_val = st
-        return jnp.any(active)
+    shape = pos.shape
+    N = 1
+    for d in shape:
+        N *= d
 
     def body(st):
-        sp, offset, active, done_val = st
+        sp, offset, active, done_val, orow = st
         sampled = (sp & compx_mask) == 0
         take_sample = active & sampled
         samp = sa_sample_at(fmi, (sp >> fmi.sa_compx).astype(jnp.int64))
         done_val = jnp.where(take_sample, samp + offset, done_val)
         active = active & ~sampled
-        # LF step: one fused row gather gives both occ and BWT[sp].
-        occs, b = occ_and_base(fmi, sp)
+        # LF step: one fused row gather gives both occ(sp, b) and
+        # b = BWT[sp]; occ_b_and_base popcounts only the one mask
+        # and selects count words before widening to int64.
+        occ_b, b = occ_b_and_base(fmi, sp)
         hit_sentinel = active & (b == 4)
         done_val = jnp.where(hit_sentinel, offset, done_val)
         active = active & ~hit_sentinel
@@ -53,20 +65,46 @@ def sa_lookup(fmi: DeviceFMIndex, pos: jax.Array, valid: jax.Array
         # indexed gathers to a ~4-10 ns/row serial loop; at [B, C]
         # widths that is ms-class per LF step (probe_loop_cost.py)
         bc = jnp.clip(b, 0, 3)
-        occ_b = _take_c(occs, bc)
-        cnt_b = _take_c(jnp.broadcast_to(fmi.count,
-                                         (*bc.shape, 5))[..., :4], bc)
+        cnt_b = _sel_small_occ(fmi.count[:4], bc)
         sp_new = cnt_b + occ_b
         sp = jnp.where(active, sp_new, sp)
         offset = offset + active.astype(pos_dtype)
-        return sp, offset, active, done_val
+        return sp, offset, active, done_val, orow
 
-    init = (pos.astype(pos_dtype),
-            jnp.zeros_like(pos, dtype=pos_dtype),
-            valid,
-            jnp.zeros_like(pos, dtype=pos_dtype))
-    _, _, _, out = jax.lax.while_loop(cond, body, init)
-    return out
+    import os
+    stages_env = os.environ.get("BWATPU_SAL_STAGES", "auto")
+    if stages_env == "0":
+        widths = []
+    else:
+        widths = []
+        w = N // 2
+        while w >= 16384:
+            widths.append(w)
+            w //= 2
+
+    sp = pos.reshape(N).astype(pos_dtype)
+    offset = jnp.zeros(N, pos_dtype)
+    active = valid.reshape(N)
+    done_val = jnp.zeros(N, pos_dtype)
+    orow = jnp.arange(N, dtype=jnp.int32)
+    glob = jnp.zeros(N, pos_dtype)
+    st = (sp, offset, active, done_val, orow)
+    for W2 in widths:
+        st = jax.lax.while_loop(
+            lambda s, W2=W2: jnp.sum(s[2]) > W2, body, st)
+        sp, offset, active, done_val, orow = st
+        rows = jnp.where(active, N, orow)   # retired lanes flush
+        glob = glob.at[rows].set(done_val, mode="drop")
+        from .smem import compact_indices
+        perm, keep = compact_indices(active, W2)
+        # padding lanes (beyond the live count) get orow = N so their
+        # garbage drops at every later scatter
+        st = (sp[perm], offset[perm], keep,
+              done_val[perm], jnp.where(keep, orow[perm], N))
+    st = jax.lax.while_loop(lambda s: jnp.any(s[2]), body, st)
+    _, _, _, done_val, orow = st
+    glob = glob.at[orow].set(done_val, mode="drop")
+    return glob.reshape(shape)
 
 
 def expand_and_lookup(fmi: DeviceFMIndex, smems: SmemBuf, max_occ: int,

@@ -472,8 +472,11 @@ class TpuAligner:
         self.cfg = cfg or PipelineConfig()
         if not idx.pos_fits_int32:
             # hg38-class repeat density overflows ~20% of a batch
-            # (measured round 4) — fewer, larger tier-1 dispatches
-            self.RETRY_BATCH = 256
+            # (measured round 4): retries are a volume path there, and
+            # their cost is SAL-bound (~ batch x coords), so serve
+            # them in few, wide dispatches
+            self.RETRY_BATCH = 512
+            self.RETRY2_BATCH = 16
         self.fmi = DeviceFMIndex.from_host_cached(idx, cp2=cp2)
         self.dbns = DeviceBns.from_host(idx.bns)
         self.dfma = (fma.to_device(self.fmi.pos_dtype)
@@ -669,9 +672,15 @@ class TpuAligner:
     def _retry_jit(self):
         if getattr(self, "_retry_fn", None) is None:
             c = self.cfg
+            # Tier shapes follow the MEASURED overflow drivers (hg38
+            # round-4 probes): coordinate demand tops out ~720 at a
+            # 512 base while chains/regs/pairs are what actually trip
+            # — so tier 1 doubles coords (SAL cost ~ batch x coords,
+            # the retry path's dominant term) and multiplies the
+            # trip-prone capacities instead.
             cfg_big = PipelineConfig(
                 max_smem_out=4 * (c.max_smem_out or 128),
-                max_coords=max(4096, 4 * c.max_coords),
+                max_coords=max(1024, 2 * c.max_coords),
                 max_chains=max(256, 4 * c.max_chains),
                 max_seeds_per_chain=max(64, 2 * c.max_seeds_per_chain),
                 max_regs=max(512, 4 * c.max_regs),
@@ -694,15 +703,13 @@ class TpuAligner:
         resort, not a common path)."""
         if getattr(self, "_retry2_fn", None) is None:
             c1 = self._retry_cfg
-            # hg38-class repeat monsters: 134/16384 reads still
-            # overflowed a 16k-coord tier 2 (measured round 4), and
-            # each oracle fallthrough costs seconds at 3 Gbp — size
-            # tier 2 so the oracle is vanishingly rare (batch is 8:
-            # the wide arrays are small)
+            # Sized so the seconds-per-read oracle is vanishingly
+            # rare (tier-2 batches are small: the wide arrays stay
+            # cheap).
             cfg2 = PipelineConfig(
                 max_smem_out=2 * c1.max_smem_out,
                 max_coords=16 * c1.max_coords,
-                max_chains=8 * c1.max_chains,
+                max_chains=4 * c1.max_chains,
                 max_seeds_per_chain=4 * c1.max_seeds_per_chain,
                 max_regs=4 * c1.max_regs,
                 max_pairs=0,
