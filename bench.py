@@ -344,6 +344,9 @@ def main():
         print(f"* overflow: {n_retry} reads retried at 4x shapes, "
               f"{n_oracle} fell through to the host oracle",
               file=sys.stderr)
+    comp = getattr(aligner, "oracle_of_components", None)
+    if comp:
+        print(f"* tier-2 overflow components: {comp}", file=sys.stderr)
 
     # Roofline accounting (VERDICT r2 item 8): count the seeding
     # machine's dependent FM extensions (= busy lane-ticks) and the

@@ -714,7 +714,7 @@ def collect_smems_oh(fmi: DeviceFMIndex, codes, lens, *,
                      min_seed_len: int, split_len: int,
                      split_width: int, max_mem_intv: int,
                      max_out: int = None, emit_depth: int = None,
-                     stack_depth: int = None):
+                     stack_depth: int = None, reseed_factor: int = 2):
     """Three-pass SMEM collection on the one-hot machines; output is
     bit-identical to collect_smems_rl / collect_smems_device
     (mem_collect_smem, src/bwamem.cpp:648-795).
@@ -732,6 +732,7 @@ def collect_smems_oh(fmi: DeviceFMIndex, codes, lens, *,
     B, L = codes.shape
     M = max_out or L
     Me = min(emit_depth, M) if emit_depth else M
+    RF = reseed_factor
     bidx = jnp.arange(B, dtype=jnp.int32)
     zi = jnp.zeros((B,), jnp.int32)
 
@@ -747,7 +748,11 @@ def collect_smems_oh(fmi: DeviceFMIndex, codes, lens, *,
             & ((p1.n + 1 - p1.m) >= split_len)
             & (p1.s <= split_width))
     flat = cand.reshape(B * M1)
-    T = 2 * B
+    # reseed lane budget: candidates past T force the read into the
+    # overflow-retry ladder (reseed_of). Demand is ~1.3/read on
+    # normal batches but retry tiers carry repeat monsters with tens
+    # of candidates each — they pass a larger factor.
+    T = RF * B
     order, t_valid = compact_indices(flat, T)
     rank = jnp.cumsum(flat, dtype=jnp.int32) - 1
     reseed_of = jnp.any((flat & (rank >= T)).reshape(B, M1), axis=1)

@@ -93,6 +93,12 @@ class PipelineConfig:
     # always run with None.
     seed_emit_depth: object = "auto"
     seed_stack_depth: object = "auto"
+    # reseed (pass-2) lane budget = factor * batch; overflow routes
+    # to the retry ladder. Normal batches need ~1.3 lanes/read; the
+    # retry tiers carry repeat monsters with tens of candidates each
+    # (measured round 4: every tier-2 oracle fallthrough was a
+    # reseed-lane overflow).
+    reseed_factor: int = 2
 
 
 def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
@@ -139,7 +145,8 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
             emit_depth=(24 if small_pos else None) if ed == "auto"
             else ed,
             stack_depth=(24 if small_pos else None) if sd == "auto"
-            else sd)
+            else sd,
+            reseed_factor=cfg.reseed_factor)
     else:
         bufs = collect_smems_device(
             fmi, codes, lens,
@@ -688,8 +695,19 @@ class TpuAligner:
                 target_pad=c.target_pad,
                 seed_engine=c.seed_engine,
                 bsw_engine=c.bsw_engine,
-                seed_emit_depth=None, seed_stack_depth=None)
-            cfg_big.max_pairs = self.RETRY_BATCH * cfg_big.max_regs
+                # generous but not maximal: the tier-1 machines carry
+                # the batch's repeat monsters, and a [RF*B, L]-depth
+                # reseed machine dominated retry cost when maximal
+                # (hg38 profile: 18 s/dispatch). What still trips
+                # here falls to tier 2 at full depth.
+                seed_emit_depth=48, seed_stack_depth=48,
+                reseed_factor=8)
+            # pairs demand tops out ~64/read even on overflow reads
+            # (round-4 probe); full B*R here meant a 262k-pair BSW
+            # per tier-1 dispatch at hg38 — 16x the main batch's
+            cfg_big.max_pairs = min(
+                self.RETRY_BATCH * cfg_big.max_regs,
+                128 * self.RETRY_BATCH)
             self._retry_cfg = cfg_big
             self._retry_fn = jax.jit(
                 partial(seed_chain_extend, opt=self.opt, cfg=cfg_big),
@@ -716,8 +734,10 @@ class TpuAligner:
                 target_pad=c1.target_pad,
                 seed_engine=c1.seed_engine,
                 bsw_engine=c1.bsw_engine,
-                seed_emit_depth=None, seed_stack_depth=None)
+                seed_emit_depth=None, seed_stack_depth=None,
+                reseed_factor=256)
             cfg2.max_pairs = self.RETRY2_BATCH * cfg2.max_regs
+            self._retry2_cfg = cfg2
             self._retry2_fn = jax.jit(
                 partial(seed_chain_extend, opt=self.opt, cfg=cfg2),
                 static_argnames=("L",))
@@ -780,6 +800,23 @@ class TpuAligner:
                            jnp.asarray(g2l), L=L, fma=self.dfma,
                            ert=self.dert)
                 regs3, of3 = self._regs_from_device(out2, g2c)
+                if of3.any():
+                    # diagnose which capacity still trips tier 2 —
+                    # every oracle fallthrough costs ~a second at
+                    # 3 Gbp, so the tally directs tier sizing
+                    comp = getattr(self, "oracle_of_components", {})
+                    for key in ("chain_overflow", "reg_overflow",
+                                "pair_overflow"):
+                        comp[key] = comp.get(key, 0) + int(
+                            np.asarray(out2[key]).sum())
+                    ct = np.asarray(out2["coord_total"])
+                    cap = self._retry2_cfg.max_coords
+                    comp["coord_at_cap"] = comp.get(
+                        "coord_at_cap", 0) + int((ct >= cap).sum())
+                    smc = np.asarray(out2["smem_cnt"])
+                    comp["smem_cnt_max"] = max(
+                        comp.get("smem_cnt_max", 0), int(smc.max()))
+                    self.oracle_of_components = comp
                 for j, i in enumerate(grp2):
                     if of3[j]:   # still truncated: oracle (never drops)
                         self.overflow_oracle = getattr(
