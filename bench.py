@@ -41,12 +41,12 @@ SEED_ENGINE = os.environ.get("BENCH_SEED_ENGINE", "onehot")
 SEED_LANES = int(os.environ.get("BENCH_SEED_LANES", 0)) or None
 # k-step checkpoint table: FWD extensions consume K bases per
 # dependent gather (index/kstep.py); bit-identical output.
-# "0" = off (default: the round-2 chip A/B measured the bigram path
-# SLOWER on real hardware — 2,582 vs 3,534 reads/s device stage —
-# so it must win a measurement before it ships as default),
-# "1"/"2" = bigram, "3" = trigram, "auto" = self-select by timing
-# one device batch per config and keeping the winner.
-_KS = os.environ.get("BENCH_KSTEP", "auto")
+# "0" = off — the DEFAULT and three-time measured on-chip winner
+# (rounds 2-4: wider checkpoint rows cost more than the saved ticks;
+# BENCH_r04: 14,836 off vs 12,955 K2 vs 11,565 K3). "auto" re-runs
+# the per-config timing harness (one device batch each) for future
+# re-measurement; "1"/"2" = bigram, "3" = trigram.
+_KS = os.environ.get("BENCH_KSTEP", "0")
 KSTEP_AUTO = _KS == "auto"
 KSTEP = _KS not in ("0", "auto")
 KSTEP_K = 3 if _KS == "3" else 2

@@ -107,15 +107,21 @@ class DeviceErt:
 def ert_extend_all_positions(ert: DeviceErt, ref, codes, lens, min_intv,
                              check_initial: bool,
                              p3_max_intv: int = 0, p3_stop: int = 0,
-                             pos_dtype=jnp.int64):
+                             pos_dtype=jnp.int64, seq_len: int = None):
     """Trie-descent counterpart of smem.extend_all_positions; returns
-    the same output dict (l fields omitted / zero)."""
+    the same output dict (l fields omitted / zero).
+
+    `seq_len` bounds the leaf walk by the TRUE fw+rc sequence length
+    (2*l_pac): DeviceFMIndex._pack_ref zero-pads refs >= 4 KiB to a
+    128-byte multiple, and pad bytes are code 0 ('A') — bounding by
+    the padded array length would let reads spuriously match phantom
+    A bases past the rc strand end."""
     B, L = codes.shape
     pcol = jnp.arange(L, dtype=jnp.int32)[None, :]
     mi = min_intv.astype(pos_dtype)[:, None]
     base_ok = (pcol < lens[:, None]) & (codes < 4)
     merge_p3 = p3_max_intv > 0 and p3_stop > 0
-    l_ref = ref.shape[0]
+    l_ref = seq_len if seq_len is not None else ref.shape[0]
 
     # step 1 from the synthetic root
     a0c = jnp.clip(codes, 0, 3)
@@ -230,9 +236,11 @@ class _ErtAsFmi:
 def collect_smems_ert(ert: DeviceErt, ref, codes, lens, *,
                       min_seed_len: int, split_len: int,
                       split_width: int, max_mem_intv: int,
-                      max_out: int = None, pos_dtype=jnp.int64):
+                      max_out: int = None, pos_dtype=jnp.int64,
+                      seq_len: int = None):
     """ERT-mode mem_collect_smem: same contract as
-    smem.collect_smems_device (l emitted as 0)."""
+    smem.collect_smems_device (l emitted as 0). `seq_len` = true fw+rc
+    length (2*l_pac), bounding leaf walks short of any ref padding."""
     B, L = codes.shape
     M = max_out or L
     ones = jnp.ones((B,), dtype=jnp.int32)
@@ -241,7 +249,7 @@ def collect_smems_ert(ert: DeviceErt, ref, codes, lens, *,
         ert, ref, codes, lens, ones, check_initial=True,
         p3_max_intv=max_mem_intv if merge else 0,
         p3_stop=(min_seed_len + 1) if merge else 0,
-        pos_dtype=pos_dtype)
+        pos_dtype=pos_dtype, seq_len=seq_len)
     E = ext["E"]
     pcol = jnp.arange(L, dtype=jnp.int32)[None, :]
     E_prev = jnp.concatenate(
@@ -278,7 +286,7 @@ def collect_smems_ert(ert: DeviceErt, ref, codes, lens, *,
     lens_t = jnp.where(t_valid, lens[t_read], 0)
     ext2 = ert_extend_all_positions(
         ert, ref, codes_t, lens_t, t_min_intv.astype(jnp.int32),
-        check_initial=True, pos_dtype=pos_dtype)
+        check_initial=True, pos_dtype=pos_dtype, seq_len=seq_len)
     E2 = ext2["E"]
     T = codes_t.shape[0]
     E2_prev = jnp.concatenate(

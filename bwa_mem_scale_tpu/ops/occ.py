@@ -579,16 +579,6 @@ def occ_and_base(fmi: DeviceFMIndex, pos: jax.Array):
     return occs, b
 
 
-def _sel_small_occ(table: jax.Array, i: jax.Array) -> jax.Array:
-    """table[i] for a tiny 1-D table at any index shape — one-hot
-    masked sum, no gather (see _take_c)."""
-    W = table.shape[0]
-    iota = jnp.arange(W, dtype=jnp.int32)
-    sel = iota == i[..., None].astype(jnp.int32)
-    return jnp.sum(jnp.where(sel, table, 0), axis=-1,
-                   dtype=table.dtype)
-
-
 def occ_b_and_base(fmi: DeviceFMIndex, pos: jax.Array):
     """(occ(pos, BWT[pos]), BWT[pos]) — the lean SAL LF step.
 

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from .occ import (DeviceFMIndex, occ_b_and_base, sa_sample_at,
-                  _take_c, _sel_small_occ)
+                  _take_c)
 from .smem import SmemBuf
 
 
@@ -65,7 +65,7 @@ def sa_lookup(fmi: DeviceFMIndex, pos: jax.Array, valid: jax.Array
         # indexed gathers to a ~4-10 ns/row serial loop; at [B, C]
         # widths that is ms-class per LF step (probe_loop_cost.py)
         bc = jnp.clip(b, 0, 3)
-        cnt_b = _sel_small_occ(fmi.count[:4], bc)
+        cnt_b = _take_c(fmi.count[:4], bc)
         sp_new = cnt_b + occ_b
         sp = jnp.where(active, sp_new, sp)
         offset = offset + active.astype(pos_dtype)
@@ -75,12 +75,18 @@ def sa_lookup(fmi: DeviceFMIndex, pos: jax.Array, valid: jax.Array
     stages_env = os.environ.get("BWATPU_SAL_STAGES", "auto")
     if stages_env == "0":
         widths = []
-    else:
+    elif stages_env == "auto":
         widths = []
         w = N // 2
         while w >= 16384:
             widths.append(w)
             w //= 2
+    else:
+        # explicit comma-separated width schedule (like
+        # BWATPU_SEED_STAGES) — lets small-N tests exercise the
+        # compaction/flush/orow-scatter path
+        widths = [int(w) for w in stages_env.split(",")
+                  if 0 < int(w) < N]
 
     sp = pos.reshape(N).astype(pos_dtype)
     offset = jnp.zeros(N, pos_dtype)

@@ -31,10 +31,11 @@ bit-identical (tests/test_smem_oh.py asserts equality against the
 readlane machine and transitively against the oracle).
 
 The K-step fold (index/kstep.py bigram/trigram tables) is supported
-and — unlike on the readlane machine, where its extra stack traffic
-cost ~as much as the ticks it saved — is pure win here: the extra
-work per tick is one-hot ops (free) and a wider checkpoint row
-(measured width-free), while the tick count drops ~2x.
+but LOSES on chip: the wider checkpoint rows (160/672 B vs 32 B)
+cost more than the saved ticks (row gathers are NOT width-free —
+BENCH_r04: 14,836 reads/s off vs 12,955 K2 vs 11,565 K3, the third
+straight on-chip loss). bench.py keeps the measured A/B harness
+behind BENCH_KSTEP; the default is off.
 """
 
 from __future__ import annotations

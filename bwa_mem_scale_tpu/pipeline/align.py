@@ -89,8 +89,9 @@ class PipelineConfig:
     # output is unchanged. "auto" = 24 for int32-position genomes
     # (E. coli/chr21: <1% overflow) and full for int64 genomes
     # (hg38-class repeat density overflowed 62% of reads at depth 24
-    # — the retry ladder must stay the exception). The retry tiers
-    # always run with None.
+    # — the retry ladder must stay the exception). Tier 1 of the
+    # retry ladder runs widened-but-bounded depths (48); only tier 2
+    # runs with None (full depth) — tier-1 overflows cascade there.
     seed_emit_depth: object = "auto"
     seed_stack_depth: object = "auto"
     # reseed (pass-2) lane budget = factor * batch; overflow routes
@@ -125,7 +126,8 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
             ert, fmi.ref, codes, lens,
             min_seed_len=opt.min_seed_len, split_len=opt.split_len,
             split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
-            max_out=cfg.max_smem_out or L, pos_dtype=fmi.pos_dtype)
+            max_out=cfg.max_smem_out or L, pos_dtype=fmi.pos_dtype,
+            seq_len=2 * fmi.l_pac)
     elif cfg.seed_engine == "readlane":
         from ..ops.smem_rl import collect_smems_rl
         bufs = collect_smems_rl(

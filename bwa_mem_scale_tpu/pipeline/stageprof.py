@@ -29,7 +29,8 @@ def _seed_bufs(aligner, fmi, codes, lens, fma, ert):
             ert, fmi.ref, codes, lens,
             min_seed_len=opt.min_seed_len, split_len=opt.split_len,
             split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
-            max_out=cfg.max_smem_out or L, pos_dtype=fmi.pos_dtype)
+            max_out=cfg.max_smem_out or L, pos_dtype=fmi.pos_dtype,
+            seq_len=2 * fmi.l_pac)
     if cfg.seed_engine == "readlane":
         from ..ops.smem_rl import collect_smems_rl
         return collect_smems_rl(

@@ -37,6 +37,29 @@ def test_sa_lookup_batch(small_index, dev_index):
         assert got[i] == fm.sa_entry(int(p))
 
 
+def test_sa_lookup_staged_matches_unstaged(small_index, dev_index,
+                                           monkeypatch):
+    """Explicit BWATPU_SAL_STAGES widths force the staged-narrowing
+    compaction/flush/orow-scatter path at small N; output must equal
+    the unstaged walk (the auto threshold only engages at >=32k
+    lanes, far above unit-test widths)."""
+    import os
+    fm = FMOracle(small_index)
+    rng = np.random.RandomState(7)
+    pos = rng.randint(0, small_index.seq_len, size=512)
+    valid = rng.rand(512) < 0.9
+    monkeypatch.setitem(os.environ, "BWATPU_SAL_STAGES", "256,64,16")
+    staged = np.asarray(sa_lookup(dev_index, jnp.asarray(pos),
+                                  jnp.asarray(valid)))
+    monkeypatch.setitem(os.environ, "BWATPU_SAL_STAGES", "0")
+    flat = np.asarray(sa_lookup(dev_index, jnp.asarray(pos),
+                                jnp.asarray(valid)))
+    np.testing.assert_array_equal(staged, flat)
+    for i, p in enumerate(pos):
+        if valid[i]:
+            assert staged[i] == fm.sa_entry(int(p))
+
+
 def _device_smems(dev_index, opt, codes_list):
     B = len(codes_list)
     L = max(len(c) for c in codes_list)

@@ -174,7 +174,13 @@ def test_mesh_pe_end_to_end(small_index):
         al = TpuAligner(small_index, MemOptions(), cfg, emf=emf,
                         mesh=mesh)
         out, mates = al.align_pairs_and_finalize(codes, lens)
-        recs.append([
-            [(r.rid, r.pos, r.mapq, r.flag, tuple(r.cigar or ()),
-              r.mrid, r.mpos, r.tlen) for r in rr] for rr in out])
+        # Mate fields in SAM (RNEXT/PNEXT/TLEN/0x20) all derive from
+        # the mate Aln returned alongside the records (io/sam.py
+        # aln_to_sam_line), so comparing (records, mates) covers them.
+        recs.append((
+            [[(r.rid, r.pos, r.mapq, r.flag, tuple(r.cigar or ()))
+              for r in rr] for rr in out],
+            [None if m is None else
+             (m.rid, m.pos, m.is_rev, tuple(m.cigar or ()))
+             for m in mates]))
     assert recs[0] == recs[1]
