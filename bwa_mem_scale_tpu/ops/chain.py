@@ -91,8 +91,12 @@ def chain_seeds_device(bns: DeviceBns, smems, rbeg, seed_idx, coord_valid,
     BIG = jnp.asarray(np.iinfo(np.dtype(pos_dtype)).max // 4,
                       dtype=pos_dtype)
 
-    qbeg_all = jnp.take_along_axis(smems.m, seed_idx, axis=1)
-    n_all = jnp.take_along_axis(smems.n, seed_idx, axis=1)
+    # one-hot over the small SMEM axis — take_along_axis here is a
+    # per-lane serialized row gather ([B, NC] = 1M rows at bench
+    # shapes, ~25 ms on chip; see ops/occ._take_c)
+    from .occ import _oh_take
+    qbeg_all = _oh_take(smems.m, seed_idx)
+    n_all = _oh_take(smems.n, seed_idx)
     slen_all = (n_all + 1 - qbeg_all)
 
     st = Chains(
@@ -108,6 +112,18 @@ def chain_seeds_device(bns: DeviceBns, smems, rbeg, seed_idx, coord_valid,
         overflow=jnp.zeros((B,), dtype=bool),
     )
 
+    # every per-lane select/update below is one-hot over the small
+    # C/S axes (see ops/occ._take_c): `arr[bidx, lslot]`-style indexed
+    # reads/writes lower to ~10 ns/row serial loops on TPU — at ~15
+    # of them per coordinate this loop was 54 ms of a 223 ms device
+    # stage on chip; masked one-hot selects are pure VPU work.
+    iota_c = jnp.arange(C, dtype=jnp.int32)
+    iota_s = jnp.arange(S, dtype=jnp.int32)
+
+    def sel_c(arr, i):                       # arr [B, C] at i [B]
+        return jnp.sum(jnp.where(iota_c[None, :] == i[:, None],
+                                 arr, 0), axis=1, dtype=arr.dtype)
+
     def body(c, st):
         take = lambda x: jax.lax.dynamic_index_in_dim(
             x, c, axis=1, keepdims=False)
@@ -122,19 +138,30 @@ def chain_seeds_device(bns: DeviceBns, smems, rbeg, seed_idx, coord_valid,
         pos = jnp.sum(st.key <= s_rbeg[:, None], axis=1).astype(jnp.int32)
         li = pos - 1
         has_lower = valid & (li >= 0)
-        lslot = st.slot[bidx, jnp.clip(li, 0, C - 1)]
+        lslot = sel_c(st.slot, jnp.clip(li, 0, C - 1))
 
         # --- test_and_merge (src/bwamem.cpp:379-421) ---
-        ln = st.n_seeds[bidx, lslot]
+        lsel = iota_c[None, :] == lslot[:, None]          # [B, C]
+        ln = jnp.sum(jnp.where(lsel, st.n_seeds, 0), axis=1)
         last_i = jnp.clip(ln - 1, 0, S - 1)
-        last_qbeg = st.seed_qbeg[bidx, lslot, last_i]
-        last_rbeg = st.seed_rbeg[bidx, lslot, last_i]
-        last_len = st.seed_len[bidx, lslot, last_i]
-        first_qbeg = st.seed_qbeg[bidx, lslot, 0]
-        first_rbeg = st.seed_rbeg[bidx, lslot, 0]
+        # the lower chain's seed row per field: [B, S]
+        def lrow(arr):
+            return jnp.sum(jnp.where(lsel[:, :, None], arr, 0),
+                           axis=1, dtype=arr.dtype)
+        row_qbeg = lrow(st.seed_qbeg)
+        row_rbeg = lrow(st.seed_rbeg)
+        row_len = lrow(st.seed_len)
+        def at_s(row, i):
+            return jnp.sum(jnp.where(iota_s[None, :] == i[:, None],
+                                     row, 0), axis=1, dtype=row.dtype)
+        last_qbeg = at_s(row_qbeg, last_i)
+        last_rbeg = at_s(row_rbeg, last_i)
+        last_len = at_s(row_len, last_i)
+        first_qbeg = row_qbeg[:, 0]
+        first_rbeg = row_rbeg[:, 0]
         qend = last_qbeg + last_len
         rend = last_rbeg + last_len.astype(pos_dtype)
-        same_rid = rid == st.rid[bidx, lslot]
+        same_rid = rid == jnp.sum(jnp.where(lsel, st.rid, 0), axis=1)
         contained = (same_rid
                      & (s_qbeg >= first_qbeg) & (s_qbeg + s_len <= qend)
                      & (s_rbeg >= first_rbeg)
@@ -150,50 +177,54 @@ def chain_seeds_device(bns: DeviceBns, smems, rbeg, seed_idx, coord_valid,
         grow = has_lower & growable
         merged = has_lower & (contained | growable)
 
-        # append seed to lower chain
         seed_of = grow & (ln >= S)
-        gi = jnp.where(grow & ~seed_of, ln, S)
-        st = st._replace(
-            seed_qbeg=st.seed_qbeg.at[bidx, lslot, gi].set(
-                s_qbeg, mode="drop"),
-            seed_rbeg=st.seed_rbeg.at[bidx, lslot, gi].set(
-                s_rbeg, mode="drop"),
-            seed_len=st.seed_len.at[bidx, lslot, gi].set(
-                s_len, mode="drop"),
-            seed_score=st.seed_score.at[bidx, lslot, gi].set(
-                s_len, mode="drop"),
-            n_seeds=st.n_seeds.at[bidx, lslot].add(
-                (grow & ~seed_of).astype(jnp.int32)),
-            overflow=st.overflow | seed_of,
-        )
-
-        # create a new chain
+        do_app = grow & ~seed_of
         new = valid & ~merged
         chain_of = new & (st.n >= C)
         new_ok = new & ~chain_of
         nslot = st.n
+
+        # ONE merged one-hot write per field: append at (lslot, ln)
+        # or start a new chain at (nslot, 0) — mutually exclusive.
+        do_w = do_app | new_ok
+        wslot = jnp.where(do_app, lslot, nslot)
+        wpos = jnp.where(do_app, ln, 0)
+        wsel = (do_w[:, None, None]
+                & (iota_c[None, :, None] == wslot[:, None, None])
+                & (iota_s[None, None, :] == wpos[:, None, None]))
+        def put(arr, v):
+            return jnp.where(wsel, v[:, None, None].astype(arr.dtype),
+                             arr)
+        nsel = (new_ok[:, None]
+                & (iota_c[None, :] == nslot[:, None]))
+        st = st._replace(
+            seed_qbeg=put(st.seed_qbeg, s_qbeg),
+            seed_rbeg=put(st.seed_rbeg, s_rbeg),
+            seed_len=put(st.seed_len, s_len),
+            seed_score=put(st.seed_score, s_len),
+            n_seeds=jnp.where(
+                do_app[:, None] & (iota_c[None, :] == lslot[:, None]),
+                st.n_seeds + 1,
+                jnp.where(nsel, 1, st.n_seeds)),
+            rid=jnp.where(nsel, rid[:, None], st.rid),
+            overflow=st.overflow | seed_of | chain_of,
+        )
+
         # sorted insert of (key, slot) at position `pos` (upper bound)
         ins = pos  # insert after all keys <= rbeg
-        col = jnp.arange(C)[None, :]
+        col = iota_c[None, :]
         shift = new_ok[:, None] & (col > ins[:, None]) & (col <= st.n[:, None])
-        prev_col = jnp.clip(col - 1, 0, C - 1)
-        key2 = jnp.where(shift, st.key[bidx[:, None], prev_col], st.key)
-        slot2 = jnp.where(shift, st.slot[bidx[:, None], prev_col], st.slot)
-        at = jnp.where(new_ok, ins, C)
-        key2 = key2.at[bidx, at].set(s_rbeg, mode="drop")
-        slot2 = slot2.at[bidx, at].set(nslot, mode="drop")
-        si = jnp.where(new_ok, nslot, C)
-        st = st._replace(
-            key=key2, slot=slot2,
-            n=st.n + new_ok.astype(jnp.int32),
-            rid=st.rid.at[bidx, si].set(rid, mode="drop"),
-            n_seeds=st.n_seeds.at[bidx, si].set(1, mode="drop"),
-            seed_qbeg=st.seed_qbeg.at[bidx, si, 0].set(s_qbeg, mode="drop"),
-            seed_rbeg=st.seed_rbeg.at[bidx, si, 0].set(s_rbeg, mode="drop"),
-            seed_len=st.seed_len.at[bidx, si, 0].set(s_len, mode="drop"),
-            seed_score=st.seed_score.at[bidx, si, 0].set(s_len, mode="drop"),
-            overflow=st.overflow | chain_of,
-        )
+        key_prev = jnp.concatenate([st.key[:, :1], st.key[:, :-1]],
+                                   axis=1)
+        slot_prev = jnp.concatenate([st.slot[:, :1], st.slot[:, :-1]],
+                                    axis=1)
+        key2 = jnp.where(shift, key_prev, st.key)
+        slot2 = jnp.where(shift, slot_prev, st.slot)
+        isel = new_ok[:, None] & (col == ins[:, None])
+        key2 = jnp.where(isel, s_rbeg[:, None], key2)
+        slot2 = jnp.where(isel, nslot[:, None], slot2)
+        st = st._replace(key=key2, slot=slot2,
+                         n=st.n + new_ok.astype(jnp.int32))
         return st
 
     # Only iterate to the longest coordinate list in the batch — the
@@ -285,17 +316,32 @@ def chain_filter_device(ch: Chains, bns: DeviceBns, *, min_chain_weight: int,
     order = jnp.argsort(-sort_w, axis=1, stable=True).astype(jnp.int32)
     n_valid = heavy.sum(axis=1).astype(jnp.int32)
 
-    w_sorted = jnp.take_along_axis(sort_w, order, axis=1)
-    # chain query span by sorted position
-    ns = jnp.take_along_axis(ch.n_seeds, order, axis=1)
+    # apply the permutation one-hot (take_along_axis over [B, C] is a
+    # per-lane serialized row gather on TPU; see ops/occ._take_c)
+    iota_c = jnp.arange(C, dtype=jnp.int32)
+    po = order[:, :, None] == iota_c[None, None, :]    # [B, Cpos, Cslot]
+
+    def by_pos(arr):                                   # [B, C] slot maj.
+        return jnp.sum(jnp.where(po, arr[:, None, :], 0), axis=2,
+                       dtype=arr.dtype)
+
+    w_sorted = by_pos(sort_w)
+    ns = by_pos(ch.n_seeds)
     last_i = jnp.clip(ns - 1, 0, S - 1)
-    qbeg0 = jnp.take_along_axis(ch.seed_qbeg[:, :, 0], order, axis=1)
-    lq = ch.seed_qbeg[bidx[:, None], order, last_i]
-    ll = ch.seed_len[bidx[:, None], order, last_i]
+    qbeg0 = by_pos(ch.seed_qbeg[:, :, 0])
+    iota_s = jnp.arange(S, dtype=jnp.int32)
+    lsel = (po[:, :, :, None]
+            & (last_i[:, :, None, None] == iota_s[None, None, None, :]))
+    lq = jnp.sum(jnp.where(lsel, ch.seed_qbeg[:, None], 0), axis=(2, 3),
+                 dtype=ch.seed_qbeg.dtype)
+    ll = jnp.sum(jnp.where(lsel, ch.seed_len[:, None], 0), axis=(2, 3),
+                 dtype=ch.seed_len.dtype)
     qend = lq + ll
-    rid_sorted = jnp.take_along_axis(ch.rid, order, axis=1)
-    alt = jnp.where(rid_sorted >= 0,
-                    bns.is_alt[jnp.clip(rid_sorted, 0, None)], False)
+    rid_sorted = by_pos(ch.rid)
+    n_alt = bns.is_alt.shape[0]
+    alt_oh = (rid_sorted[:, :, None]
+              == jnp.arange(n_alt, dtype=jnp.int32)[None, None, :])
+    alt = jnp.any(alt_oh & bns.is_alt[None, None, :], axis=2)
 
     kept = jnp.zeros((B, C), dtype=jnp.int32)
     first = jnp.full((B, C), -1, dtype=jnp.int32)
@@ -331,17 +377,18 @@ def chain_filter_device(ch: Chains, bns: DeviceBns, *, min_chain_weight: int,
                      & active[:, None])
         first = jnp.where(set_first, i, first)
         keep_i = active & ~drop
-        kept = kept.at[bidx, jnp.where(keep_i, i, C)].set(
-            jnp.where(large_ovlp, 2, 3), mode="drop")
+        kept = jnp.where((col == i) & keep_i[:, None],
+                         jnp.where(large_ovlp, 2, 3)[:, None], kept)
         return kept, first
 
     kept, first = jax.lax.fori_loop(1, C, body, (kept, first))
     # chains referenced by a kept chain's `first` get kept=1
     def body2(i, kept):
-        f = first[:, i]
-        do = (kept[:, i] > 0) & (f >= 0)
-        kept = kept.at[bidx, jnp.where(do, f, C)].set(1, mode="drop")
-        return kept
+        f = jax.lax.dynamic_index_in_dim(first, i, axis=1,
+                                         keepdims=False)
+        do = (jax.lax.dynamic_index_in_dim(kept, i, axis=1,
+                                           keepdims=False) > 0) & (f >= 0)
+        return jnp.where((col == f[:, None]) & do[:, None], 1, kept)
     kept = jax.lax.fori_loop(0, C, body2, kept)
 
     # cap the number of kept==1/2 chains

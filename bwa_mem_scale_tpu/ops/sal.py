@@ -114,7 +114,7 @@ def sa_lookup(fmi: DeviceFMIndex, pos: jax.Array, valid: jax.Array
 
 
 def expand_and_lookup(fmi: DeviceFMIndex, smems: SmemBuf, max_occ: int,
-                      max_coords: int):
+                      max_coords: int, flat_k: int = None):
     """Sample each SMEM interval and resolve coordinates.
 
     Returns (rbeg [B, C], seed_smem [B, C] (index into smems arrays),
@@ -126,8 +126,19 @@ def expand_and_lookup(fmi: DeviceFMIndex, smems: SmemBuf, max_occ: int,
     reference's heap-backed seed vector never drops seeds,
     src/bwamem.cpp:789-895 — overflowed reads must be retried at a
     larger shape).
+
+    The SA walk runs over a FLAT compacted [K] coordinate list
+    (K = flat_k, default B*C//16 rounded to 1024, floor 4096), not
+    the [B, C] grid: valid coords are a dense prefix per read, and
+    their batch-wide sum is a small fraction of B*C — resolving the
+    grid paid a per-lane serialized row gather for every EMPTY slot
+    (chip: the [4096, 256] E. coli SAL block was 48 ms of a 223 ms
+    device stage; the walk itself only needs ~30 k lanes). Reads
+    whose coords fall past K are latched into `overflow` (the
+    existing retry ladder re-runs them at bigger shapes).
     """
     B, M = smems.m.shape
+    C = max_coords
     valid = jnp.arange(M)[None, :] < smems.cnt[:, None]
     s = smems.s
     big = s > max_occ
@@ -142,25 +153,44 @@ def expand_and_lookup(fmi: DeviceFMIndex, smems: SmemBuf, max_occ: int,
     total = jnp.minimum(csum[:, -1], max_coords)
     starts = csum - n_i                          # [B, M]
 
-    slot = jnp.arange(max_coords)[None, :]       # [1, C]
+    slot = jnp.arange(C, dtype=jnp.int32)[None, :]   # [1, C]
     coord_valid = slot < total[:, None]
-    # Which SMEM does each slot belong to? Scatter each (nonzero)
-    # SMEM's index at its start slot and forward-fill with a running
-    # max — one scatter + cummax instead of a vmapped binary search
-    # (searchsorted measured 0.22 s/batch on TPU at [4096, 256]).
-    # Starts of nonzero SMEMs are strictly increasing, so max+fill
-    # reproduces searchsorted(csum, slot, side="right") exactly on
-    # the slots that coord_valid keeps.
-    ii = jnp.broadcast_to(
-        jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
-    tgt = jnp.where(n_i > 0, starts, max_coords)   # OOB rows drop
-    mark = jnp.full((B, max_coords), -1, jnp.int32)
-    mark = mark.at[jnp.arange(B)[:, None], tgt].max(ii, mode="drop")
+    # Which SMEM does each slot belong to? One-hot mark + running max
+    # (= searchsorted(csum, slot, "right") on the valid slots): marks
+    # of nonzero SMEMs land at strictly increasing starts, cummax
+    # forward-fills. All VPU work — no per-lane scatter.
+    iota_m = jnp.arange(M, dtype=jnp.int32)
+    hit = (starts[:, None, :] == slot[:, :, None]) \
+        & (n_i[:, None, :] > 0)                  # [B, C, M]
+    mark = jnp.max(jnp.where(hit, iota_m[None, None, :], -1), axis=2)
     seed_idx = jax.lax.cummax(mark, axis=1)
     seed_idx = jnp.clip(seed_idx, 0, M - 1)
-    bidx = jnp.arange(B)[:, None]
-    within = slot - starts[bidx, seed_idx]
-    pos = (smems.k[bidx, seed_idx]
-           + within.astype(s.dtype) * step[bidx, seed_idx])
-    rbeg = sa_lookup(fmi, pos, coord_valid)
+    # per-slot SMEM fields via one-hot over the small M axis
+    from .occ import _oh_take
+    starts_c = _oh_take(starts, seed_idx)        # [B, C]
+    k_c = _oh_take(smems.k, seed_idx)
+    step_c = _oh_take(step, seed_idx)
+    within = slot - starts_c
+    pos = k_c + within.astype(s.dtype) * step_c  # [B, C]
+
+    # ---- flat compaction: resolve only the valid coords ----
+    K = flat_k or max(4096, (B * C // 16 + 1023) // 1024 * 1024)
+    if B * C <= K:
+        rbeg = sa_lookup(fmi, pos, coord_valid)
+        return rbeg, seed_idx, coord_valid, total, overflow
+    tot_c = jnp.cumsum(total)                    # [B]
+    grand = tot_c[-1]
+    overflow = overflow | ((tot_c > K) & (total > 0))
+    j = jnp.arange(K, dtype=jnp.int32)
+    fb = jnp.searchsorted(tot_c, j, side="right").astype(jnp.int32)
+    fbc = jnp.clip(fb, 0, B - 1)
+    fc = j - (tot_c[fbc] - total[fbc])
+    f_valid = j < grand
+    fcc = jnp.clip(fc, 0, C - 1)
+    pos_f = pos[fbc, fcc]                        # [K] row gather
+    rbeg_f = sa_lookup(fmi, pos_f, f_valid)
+    # scatter back into the [B, C] grid (K rows; empty slots stay 0)
+    flat_tgt = jnp.where(f_valid, fbc * C + fcc, B * C)
+    rbeg = jnp.zeros((B * C,), dtype=rbeg_f.dtype).at[flat_tgt].set(
+        rbeg_f, mode="drop").reshape(B, C)
     return rbeg, seed_idx, coord_valid, total, overflow

@@ -155,8 +155,12 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
             min_seed_len=opt.min_seed_len, split_len=opt.split_len,
             split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
             max_out=cfg.max_smem_out or L, fma=fma)
+    if cut == "seed":
+        return {"packed": bufs.cnt + bufs.k[:, 0].astype(jnp.int32)}
     rbeg, seed_idx, coord_valid, total, coord_of = expand_and_lookup(
         fmi, bufs, opt.max_occ, cfg.max_coords)
+    if cut == "sal":
+        return {"packed": total + rbeg[:, 0].astype(jnp.int32)}
     # SMEM buffer at capacity: treat as (possible) overflow so the
     # read is retried at a larger shape rather than silently truncated.
     smem_of = bufs.cnt >= bufs.m.shape[1]
@@ -165,6 +169,9 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
         w=opt.w, max_chain_gap=opt.max_chain_gap,
         max_chains=cfg.max_chains,
         max_seeds_per_chain=cfg.max_seeds_per_chain)
+    if cut == "chain":
+        return {"packed": ch.n_seeds.sum(axis=1)
+                + ch.seed_rbeg[:, 0, 0].astype(jnp.int32)}
     order, kept, w_slot = chain_filter_device(
         ch, dbns, min_chain_weight=opt.min_chain_weight,
         mask_level=opt.mask_level, max_chain_gap=opt.max_chain_gap,
@@ -193,51 +200,71 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
         sw_of = jnp.zeros((B,), dtype=bool)
 
     # ---- enumerate (chain, seed) candidates in processing order ----
+    # All selection here is rank arithmetic + one-hot masked sums:
+    # the previous argsort over [B, C*S] plus per-lane indexed
+    # gathers/scatters (seed_rank scatter = B*C*S serialized rows)
+    # cost 25 ms/batch on chip; candidate keys are dense ranks, so
+    # sorting them is just counting.
     kept_chain = kept > 0                              # [B, C] sorted pos
     chain_rank = jnp.cumsum(kept_chain.astype(jnp.int32), axis=1) - 1
     slot_by_pos = order                                # [B, C]
-    live_by_pos = seed_live[bidx[:, None], slot_by_pos]  # [B, C, S]
-    score_by_pos = seed_score_eff[bidx[:, None], slot_by_pos]
+    iota_c = jnp.arange(C, dtype=jnp.int32)
+    perm_oh = slot_by_pos[:, :, None] == iota_c[None, None, :]
+    # [B, Cpos, Cslot] one-hot of the weight-sort permutation
+    live_by_pos = jnp.any(perm_oh[:, :, :, None] & seed_live[:, None],
+                          axis=2)                      # [B, C, S]
+    score_by_pos = jnp.sum(
+        jnp.where(perm_oh[:, :, :, None], seed_score_eff[:, None], 0),
+        axis=2)
     svalid = live_by_pos & kept_chain[:, :, None]
-    # seeds processed best-score-first, ties by larger index.
-    # int32 key (scores < 2^15 for any supported read length; int64
-    # sorts are emulated on TPU)
+    # seeds processed best-score-first, ties by larger index; keys are
+    # unique, so descending rank = count of strictly larger keys.
     seed_key = ((score_by_pos.astype(jnp.int32) << 16)
                 | sidx.astype(jnp.int32))
     seed_key = jnp.where(svalid, seed_key, jnp.int32(-1))
-    seed_perm = jnp.argsort(-seed_key, axis=2).astype(jnp.int32)
-    # inverse permutation by scatter (argsort of a permutation is
-    # just its inverse; a second sort is wasted work)
-    C_ = seed_perm.shape[1]
-    seed_rank = jnp.zeros_like(seed_perm).at[
-        jnp.arange(B)[:, None, None],
-        jnp.arange(C_)[None, :, None],
-        seed_perm].set(jnp.broadcast_to(
-            jnp.arange(S, dtype=jnp.int32)[None, None, :],
-            seed_perm.shape))
+    seed_rank = jnp.sum(
+        (seed_key[:, :, None, :] > seed_key[:, :, :, None]),
+        axis=3, dtype=jnp.int32)                       # [B, C, S]
 
-    cand_key = jnp.where(
-        svalid,
-        chain_rank[:, :, None] * S
-        + jnp.take_along_axis(seed_rank, sidx, axis=2),
-        jnp.int32(1 << 30))
-    flat_key = cand_key.reshape(B, C * S)
-    cand_order = jnp.argsort(flat_key, axis=1).astype(jnp.int32)
-    sel = cand_order[:, :R]                            # [B, R]
-    sel_valid = jnp.take_along_axis(flat_key, sel, axis=1) < (1 << 30)
-    reg_overflow = (jnp.sum(svalid.reshape(B, C * S), axis=1) > R)
+    # dense candidate rank: seeds of earlier kept chains first, then
+    # score rank within the chain (identical order to the argsort of
+    # chain_rank * S + seed_rank it replaces).
+    nlive = jnp.sum(svalid, axis=2, dtype=jnp.int32)   # [B, C]
+    base = jnp.cumsum(nlive, axis=1) - nlive           # [B, C]
+    dense = jnp.where(svalid, base[:, :, None] + seed_rank,
+                      jnp.int32(1 << 30))
+    n_cand = jnp.sum(nlive, axis=1)
+    reg_overflow = n_cand > R
+
+    # sel encodes (data slot, seed idx) directly: slot*S + sidx
+    slotflat = (slot_by_pos[:, :, None] * S
+                + sidx.astype(jnp.int32)).reshape(B, C * S)
+    dense_f = dense.reshape(B, C * S)
+    iota_r = jnp.arange(R, dtype=jnp.int32)
+    sel_oh = dense_f[:, None, :] == iota_r[None, :, None]  # [B,R,C*S]
+    sel_ss = jnp.sum(jnp.where(sel_oh, slotflat[:, None, :], 0),
+                     axis=2, dtype=jnp.int32)          # [B, R]
+    sel_valid = iota_r[None, :] < n_cand[:, None]
 
     if cut == "enum":
-        return dict(dbg=sel.sum() + sel_valid.sum())
+        return dict(dbg=sel_ss.sum() + sel_valid.sum())
 
-    sel_pos = sel // S                                 # sorted chain pos
-    sel_sidx = sel % S                                 # raw seed index
-    sel_slot = slot_by_pos[bidx[:, None], sel_pos]     # chain data slot
+    sel_slot = sel_ss // S                             # chain data slot
+    sel_sidx = sel_ss % S                              # raw seed index
+    g_oh = sel_ss[:, :, None] == jnp.arange(
+        C * S, dtype=jnp.int32)[None, None, :]         # [B, R, C*S]
 
-    g_qbeg = ch.seed_qbeg[bidx[:, None], sel_slot, sel_sidx]
-    g_rbeg = ch.seed_rbeg[bidx[:, None], sel_slot, sel_sidx]
-    g_len = ch.seed_len[bidx[:, None], sel_slot, sel_sidx]
-    g_rid = ch.rid[bidx[:, None], sel_slot]
+    def g_take(arr):                                   # [B, C, S] field
+        flat = arr.reshape(B, C * S)
+        return jnp.sum(jnp.where(g_oh, flat[:, None, :], 0),
+                       axis=2, dtype=arr.dtype)
+
+    g_qbeg = g_take(ch.seed_qbeg)
+    g_rbeg = g_take(ch.seed_rbeg)
+    g_len = g_take(ch.seed_len)
+    sslot_oh = sel_slot[:, :, None] == iota_c[None, None, :]
+    g_rid = jnp.sum(jnp.where(sslot_oh, ch.rid[:, None, :], 0),
+                    axis=2, dtype=ch.rid.dtype)
 
     # ---- per-chain reference span rmax (by slot) ----
     a_, w_ = opt.a, opt.w
@@ -261,8 +288,10 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
     # first LIVE seed (post seed-SW filter; argmax finds the first
     # True, and slot 0 — the pre-filter behavior — when none live)
     first_i = jnp.argmax(seed_live, axis=2)
-    first_rbeg = jnp.take_along_axis(
-        cs_rbeg, first_i[:, :, None], axis=2)[:, :, 0]
+    first_rbeg = jnp.sum(
+        jnp.where(jnp.arange(S, dtype=jnp.int32)[None, None, :]
+                  == first_i[:, :, None], cs_rbeg, 0),
+        axis=2, dtype=cs_rbeg.dtype)
     bridging = (rmax0 < dbns.l_pac) & (dbns.l_pac < rmax1)
     rmax1 = jnp.where(bridging & (first_rbeg < dbns.l_pac),
                       dbns.l_pac, rmax1)
@@ -273,17 +302,31 @@ def seed_chain_extend(fmi: DeviceFMIndex, dbns: DeviceBns, codes, lens,
     mid_f, mid_rev = dbns.depos(mid)
     mid_rid = dbns.pos2rid(mid_f)
     mrid = jnp.clip(mid_rid, 0, None).astype(jnp.int32)
-    far_beg = dbns.offsets[mrid]
     n_off = jnp.concatenate(
         [dbns.offsets, jnp.asarray([dbns.l_pac], jnp.int64)])
-    far_end = n_off[mrid + 1]
+    n_seqs = dbns.offsets.shape[0]
+    if n_seqs <= 128:
+        # one-hot over the small contig table ([B, C]-lane gathers
+        # serialize per row on TPU)
+        ri = jnp.arange(n_seqs + 1, dtype=jnp.int32)
+        oh = mrid[:, :, None] == ri[None, None, :-1]
+        far_beg = jnp.sum(jnp.where(oh, dbns.offsets[None, None, :], 0),
+                          axis=2, dtype=jnp.int64)
+        oh1 = (mrid + 1)[:, :, None] == ri[None, None, :]
+        far_end = jnp.sum(jnp.where(oh1, n_off[None, None, :], 0),
+                          axis=2, dtype=jnp.int64)
+    else:
+        far_beg = dbns.offsets[mrid]
+        far_end = n_off[mrid + 1]
     fb = jnp.where(mid_rev, l_pac2 - far_end, far_beg)
     fe = jnp.where(mid_rev, l_pac2 - far_beg, far_end)
     rmax0 = jnp.maximum(rmax0, fb)
     rmax1 = jnp.minimum(rmax1, fe)
 
-    rm0 = rmax0[bidx[:, None], sel_slot]               # [B, R]
-    rm1 = rmax1[bidx[:, None], sel_slot]
+    rm0 = jnp.sum(jnp.where(sslot_oh, rmax0[:, None, :], 0),
+                  axis=2, dtype=rmax0.dtype)           # [B, R]
+    rm1 = jnp.sum(jnp.where(sslot_oh, rmax1[:, None, :], 0),
+                  axis=2, dtype=rmax1.dtype)
 
     # ---- compact candidates to pair space ----
     # Only real candidates get sequence buffers and DP lanes; results

@@ -22,7 +22,8 @@ from bwa_mem_scale_tpu.models.aligner import simulate_reads
 from bwa_mem_scale_tpu.pipeline.align import seed_chain_extend
 
 REPS = int(os.environ.get("BENCH_REPS", 3))
-CUTS = ["enum", "seqs", "bsw1", "bswL", "bswLR1", None]
+CUTS = ["seed", "sal", "chain", "enum", "seqs", "bsw1", "bswL",
+        "bswLR1", None]
 
 
 def main():
