@@ -1008,6 +1008,18 @@ class TpuAligner:
                     int(pm_code[i]), int(pm_slot[i]),
                     loc0=int(pm_loc[i]))
 
+        from . import native_finalize
+        if native_finalize.available():
+            # Native record pipeline (dedup/patch + mark_primary +
+            # selection + CIGAR/NM/MD + XA in one C call) for every
+            # read the fixed shapes fully covered; overflow reads take
+            # the Python retry path below, EMF hits are overridden by
+            # pm_records either way.
+            nat = self._finalize_native(out, pf, codes, lens,
+                                        id_offset, read_ids,
+                                        pm_records)
+            if nat is not None:
+                return nat
         with PROFILER.phase("fetch_regs"):
             all_regs, overflow = self._regs_from_device(out, codes,
                                                         prefetched=pf)
@@ -1033,8 +1045,87 @@ class TpuAligner:
             state = fin.begin_batch(queries, finalized)
         return (fin, state, pm_records)
 
+    def _finalize_native(self, out, pf, codes, lens, id_offset,
+                         read_ids, pm_records):
+        """Native-path stage a: returns a ('native', records) handle
+        for finalize_stage_b, or None to fall back to Python (arena
+        overflow). Overflow reads run the existing Python retry +
+        finalize machinery on the side."""
+        from . import native_finalize
+        from .finalize import BatchFinalizer
+        from ..utils.profiling import PROFILER
+        opt = self.opt
+        bns = self.idx.bns
+        ref = self.idx.ref_string
+        with PROFILER.phase("fetch_pack"):
+            if pf is not None:
+                pk = pf["packed"]
+                meta = pf["meta"]
+            else:
+                pk = np.asarray(out["packed"])
+                meta = np.asarray(out["meta"])
+        frac_rep = meta[:, 0]
+        overflow = meta[:, 1] > 0.5
+        B = codes.shape[0]
+        rids_arr = (np.asarray(read_ids, dtype=np.int64)
+                    if read_ids is not None
+                    else id_offset + np.arange(B, dtype=np.int64))
+
+        with PROFILER.phase("native_finalize"):
+            (valid, read, qb_a, qe_a, score_a, truesc_a, w_a,
+             seedcov_a, rid_a, seedlen0_a, rb_lo, rb_hi, re_lo,
+             re_hi) = pk.T
+            keep = (valid & (qe_a > qb_a)).astype(bool)
+            rows = {
+                "read": read[keep],
+                "rb": ((rb_hi[keep].astype(np.int64) << 31)
+                       | rb_lo[keep]),
+                "re": ((re_hi[keep].astype(np.int64) << 31)
+                       | re_lo[keep]),
+                "qb": qb_a[keep], "qe": qe_a[keep],
+                "rid": rid_a[keep], "score": score_a[keep],
+                "truesc": truesc_a[keep], "w": w_a[keep],
+                "seedcov": seedcov_a[keep],
+                "seedlen0": seedlen0_a[keep],
+            }
+            proc = np.flatnonzero(~overflow).astype(np.int32)
+            rec_by_read = native_finalize.finalize_se_rows(
+                opt, self.idx, rows, proc, frac_rep, rids_arr,
+                codes, lens)
+        if rec_by_read is None:
+            return None
+        out_records = [None] * B
+        for i in proc.tolist():
+            out_records[i] = rec_by_read.get(i)
+        if overflow.any():
+            with PROFILER.phase("overflow_retry"):
+                all_regs = [[] for _ in range(B)]
+                all_regs = self._apply_overflow_retry(
+                    all_regs, overflow, codes, lens)
+            fin = BatchFinalizer(opt, self.idx)
+            ov = np.flatnonzero(overflow)
+            queries, finalized = [], []
+            for i in ov.tolist():
+                query = codes[i, : lens[i]].astype(np.uint8)
+                queries.append(query)
+                regs = sort_dedup_patch(opt, bns, ref, query,
+                                        all_regs[i])
+                regs, _ = mark_primary(opt, regs, int(rids_arr[i]))
+                if opt.flag & MEM_F_PRIMARY5:
+                    reorder_primary5(opt.T, regs)
+                finalized.append(regs)
+            recs = fin.records_for_batch(queries, finalized)
+            for j, i in enumerate(ov.tolist()):
+                out_records[i] = recs[j]
+        return ("native", out_records, pm_records)
+
     def finalize_stage_b(self, stage):
         from ..utils.profiling import PROFILER
+        if stage[0] == "native":
+            _, out_records, pm_records = stage
+            for i, recs in pm_records.items():
+                out_records[i] = recs
+            return out_records
         fin, state, pm_records = stage
         with PROFILER.phase("cigar_complete"):
             out_records = fin.complete_batch(state)
