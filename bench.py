@@ -25,6 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+# Persistent XLA compile cache: a cold bench warmup is ~7 min of
+# compiles over the tunnel; cached reruns skip straight to execution.
+from bwa_mem_scale_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache()
+
 BWAMEM2_40CORE_EST = 330_000.0
 
 GENOME_BP = int(os.environ.get("BENCH_GENOME_BP", 4_600_000))

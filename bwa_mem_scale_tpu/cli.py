@@ -590,6 +590,8 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms",
                           "cpu" if plat == "cpu" else plat + ",cpu")
+    from .utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     if not argv or argv[0] in ("-h", "--help"):
         print("usage: bwa-mem-scale-tpu "
               "{index,mem,smem-table,kstep-table,perfect-index,ert-index,"

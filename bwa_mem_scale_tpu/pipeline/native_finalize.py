@@ -139,7 +139,9 @@ def finalize_se_rows(opt, idx, rows, proc_reads, frac_rep, read_ids,
     rec_xa_len = np.zeros(rec_cap, dtype=np.int32)
 
     mat = np.ascontiguousarray(opt.mat, dtype=np.int8)
-    rc = lib.finalize_se_batch(
+    from ..utils.profiling import PROFILER
+    with PROFILER.phase("native_c_call"):
+        rc = lib.finalize_se_batch(
         ctypes.c_int64(n_rows),
         _ptr(cols["read"], ctypes.c_int32),
         _ptr(cols["rb"], ctypes.c_int64),
@@ -217,41 +219,46 @@ def finalize_se_rows(opt, idx, rows, proc_reads, frac_rep, read_ids,
 
     # Bulk-convert once (tolist is a C loop; per-element np scalar
     # access costs more than the native call itself at batch scale).
-    md_bytes = md_arena.tobytes()
-    xa_bytes = xa_arena.tobytes()
-    meta = np.stack([rec_read[:n_rec], rec_rid[:n_rec],
-                     rec_flag[:n_rec], rec_mapq[:n_rec],
-                     rec_score[:n_rec], rec_sub[:n_rec],
-                     rec_nm[:n_rec], rec_alt_sc[:n_rec],
-                     rec_ncig[:n_rec]], axis=1).tolist()
-    pos_l = rec_pos[:n_rec].tolist()
-    isrev_l = rec_is_rev[:n_rec].tolist()
-    isalt_l = rec_is_alt[:n_rec].tolist()
-    mdo = rec_md_off[:n_rec].tolist()
-    mdl = rec_md_len[:n_rec].tolist()
-    xao = rec_xa_off[:n_rec].tolist()
-    xal = rec_xa_len[:n_rec].tolist()
-    cig_l = cig_out[:n_rec].tolist()
+    with PROFILER.phase("native_conv"):
+        md_bytes = md_arena.tobytes()
+        xa_bytes = xa_arena.tobytes()
+        meta = np.stack([rec_read[:n_rec], rec_rid[:n_rec],
+                         rec_flag[:n_rec], rec_mapq[:n_rec],
+                         rec_score[:n_rec], rec_sub[:n_rec],
+                         rec_nm[:n_rec], rec_alt_sc[:n_rec],
+                         rec_ncig[:n_rec]], axis=1).tolist()
+        pos_l = rec_pos[:n_rec].tolist()
+        isrev_l = rec_is_rev[:n_rec].tolist()
+        isalt_l = rec_is_alt[:n_rec].tolist()
+        mdo = rec_md_off[:n_rec].tolist()
+        mdl = rec_md_len[:n_rec].tolist()
+        xao = rec_xa_off[:n_rec].tolist()
+        xal = rec_xa_len[:n_rec].tolist()
+        # slice to the widest actual CIGAR before tolist — converting the
+        # full [n_rec, 256] arena is ~1M Python ints per batch
+        w_cig = int(rec_ncig[:n_rec].max()) if n_rec else 1
+        cig_l = cig_out[:n_rec, :max(w_cig, 1)].tolist()
 
-    out = {}
-    for j in range(n_rec):
-        (rd, rid, flag, mapq, score, sub, nm, alt_sc, ncig) = meta[j]
-        a = Aln()
-        a.rid = rid
-        a.pos = pos_l[j]
-        a.flag = flag
-        a.mapq = mapq
-        a.score = score
-        a.sub = sub
-        a.NM = nm
-        a.alt_sc = alt_sc
-        a.is_rev = bool(isrev_l[j])
-        a.is_alt = bool(isalt_l[j])
-        if rid >= 0:
-            row = cig_l[j]
-            a.cigar = [(row[k] >> 4, row[k] & 0xF) for k in range(ncig)]
-            a.MD = md_bytes[mdo[j]: mdo[j] + mdl[j]].decode()
-        a.XA = (xa_bytes[xao[j]: xao[j] + xal[j]].decode()
-                if xal[j] else None)
-        out.setdefault(rd, []).append(a)
-    return out
+        out = {}
+        for j in range(n_rec):
+            (rd, rid, flag, mapq, score, sub, nm, alt_sc, ncig) = meta[j]
+            a = Aln()
+            a.rid = rid
+            a.pos = pos_l[j]
+            a.flag = flag
+            a.mapq = mapq
+            a.score = score
+            a.sub = sub
+            a.NM = nm
+            a.alt_sc = alt_sc
+            a.is_rev = bool(isrev_l[j])
+            a.is_alt = bool(isalt_l[j])
+            if rid >= 0:
+                row = cig_l[j]
+                a.cigar = [(row[k] >> 4, row[k] & 0xF) for k in range(ncig)]
+                a.MD = md_bytes[mdo[j]: mdo[j] + mdl[j]].decode()
+            a.XA = (xa_bytes[xao[j]: xao[j] + xal[j]].decode()
+                    if xal[j] else None)
+            out.setdefault(rd, []).append(a)
+        return out
+

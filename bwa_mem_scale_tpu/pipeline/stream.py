@@ -20,6 +20,13 @@ import numpy as np
 from ..utils.profiling import PROFILER
 
 
+def _mk_perfect_aln(pos, rid, is_rev, is_alt, l_seq, score):
+    from ..ref.finalize import Aln
+    return Aln(pos=pos, rid=rid, flag=0, is_rev=is_rev,
+               is_alt=is_alt, mapq=60, NM=0, cigar=[(l_seq, 0)],
+               MD=str(l_seq), score=score, sub=0)
+
+
 class SeStream:
     """Feed raw read batches in, collect per-read records in input
     order. One device batch is kept in flight (dispatch-ahead)."""
@@ -92,8 +99,33 @@ class SeStream:
             self.al._emf_count(pm["code"])
             opt, bns = self.al.opt, self.al.idx.bns
             ref = self.al.idx.ref_string
+            pt = self.al.emf
             with PROFILER.phase("emf_records"):
-                for i in np.flatnonzero(is_pm):
+                hit = np.flatnonzero(is_pm)
+                # Vectorized fast path — the common case: a
+                # single-location entry for a read exactly seed_len
+                # long. perfect_locations returns [(loc0, rev)] there
+                # and dedup/selection are identities, so the record
+                # fields are pure arithmetic (mem_perfect2sam's
+                # primary-only branch, src/bwamem.cpp:2328-2377).
+                slots = np.asarray(pm["slot"])[hit]
+                lens_h = np.asarray(lens)[hit]
+                fast = (pt.mlidx[slots] < 0) & (lens_h == pt.seed_len)
+                fi = hit[fast]
+                if fi.size:
+                    loc = np.asarray(pm["loc"])[fi].astype(np.int64)
+                    rev = np.asarray(pm["code"])[fi] == RC_MATCHED
+                    rid = bns.pos2rid(loc)
+                    pos = loc - bns.offsets[rid]
+                    alt = np.asarray(bns.is_alt)[rid]
+                    L = int(pt.seed_len)
+                    score = L * opt.a
+                    mk = _mk_perfect_aln
+                    for j in range(fi.size):
+                        self.results[int(ids[fi[j]])] = [
+                            mk(int(pos[j]), int(rid[j]), bool(rev[j]),
+                               bool(alt[j]), L, score)]
+                for i in hit[~fast]:
                     read = codes[i, : lens[i]].astype(np.uint8)
                     self.results[int(ids[i])] = perfect_sam_records(
                         opt, bns, self.al.emf, ref, read,
