@@ -182,12 +182,24 @@ def expand_and_lookup(fmi: DeviceFMIndex, smems: SmemBuf, max_occ: int,
     grand = tot_c[-1]
     overflow = overflow | ((tot_c > K) & (total > 0))
     j = jnp.arange(K, dtype=jnp.int32)
-    fb = jnp.searchsorted(tot_c, j, side="right").astype(jnp.int32)
+    # fb[j] = #{b: tot_c[b] <= j} (searchsorted-right). The direct
+    # jnp.searchsorted lowered to a [K, B] broadcast compare — 12 ms
+    # per batch at K=128k (chip trace, round 5). tot_c is monotone,
+    # so a B-row scatter-max of read ids at their tot_c positions
+    # plus a cummax forward-fill computes the same function.
+    fb = jax.lax.cummax(
+        jnp.zeros((K + 1,), jnp.int32)
+        .at[jnp.minimum(tot_c, K).astype(jnp.int32)]
+        .max(jnp.arange(1, B + 1, dtype=jnp.int32), mode="drop")[:K])
     fbc = jnp.clip(fb, 0, B - 1)
-    fc = j - (tot_c[fbc] - total[fbc])
+    fc = j - (tot_c - total)[fbc]
     f_valid = j < grand
     fcc = jnp.clip(fc, 0, C - 1)
-    pos_f = pos[fbc, fcc]                        # [K] row gather
+    # 1-D flat gather: the 2-D advanced-index form pos[fbc, fcc]
+    # lowers to a ~93 ns/lane serialized fetch (12 ms/batch at
+    # K=128k, chip trace round 5); the flattened form is a plain
+    # 1-D element gather
+    pos_f = pos.reshape(B * C)[fbc * C + fcc]    # [K] gather
     rbeg_f = sa_lookup(fmi, pos_f, f_valid)
     # scatter back into the [B, C] grid (K rows; empty slots stay 0)
     flat_tgt = jnp.where(f_valid, fbc * C + fcc, B * C)
