@@ -311,9 +311,14 @@ def main():
     print(f"* device stage: {dev_rps:,.0f} reads/s", file=sys.stderr)
 
     # End-to-end timing: EMF-compacted stream with one device batch
-    # in flight (same machinery as the CLI driver).
+    # in flight (same machinery as the CLI driver), producing
+    # finished SAM text per read (native compose_sam_se — the
+    # production deliverable, not boxed record objects).
     from bwa_mem_scale_tpu.pipeline.stream import SeStream
-    stream = SeStream(aligner, BATCH, READ_LEN)
+    from bwa_mem_scale_tpu.pipeline import native_finalize
+    SAM_MODE = (native_finalize.available()
+                and not os.environ.get("BENCH_NO_SAM"))
+    stream = SeStream(aligner, BATCH, READ_LEN, sam=SAM_MODE)
     # warm the compacted-batch compile path (skip_emf variant)
     stream.feed(*batches[0], 0)
     stream.flush()
@@ -323,23 +328,31 @@ def main():
     from bwa_mem_scale_tpu.utils.profiling import PROFILER
     PROFILER.totals.clear()
     PROFILER.counts.clear()
-    stream = SeStream(aligner, BATCH, READ_LEN)
+    stream = SeStream(aligner, BATCH, READ_LEN, sam=SAM_MODE)
     t0 = time.time()
     total = 0
     n_out = 0
+    sam_bytes = 0
     for codes, lens in batches:
         stream.feed(codes, lens, total)
         total += len(lens)
-        n_out += sum(1 for _ in stream.ready())
+        for _rid, rec in stream.ready():
+            n_out += 1
+            if SAM_MODE:
+                sam_bytes += len(rec)
     stream.flush()
-    n_out += sum(1 for _ in stream.ready())
+    for _rid, rec in stream.ready():
+        n_out += 1
+        if SAM_MODE:
+            sam_bytes += len(rec)
     assert n_out == total, (n_out, total)
     dt = time.time() - t0
     if os.environ.get("BENCH_PROFILE"):
         PROFILER.report()
     rps = total / dt
-    print(f"* end-to-end: {rps:,.0f} reads/s ({dt:.2f}s for {total})",
-          file=sys.stderr)
+    print(f"* end-to-end: {rps:,.0f} reads/s ({dt:.2f}s for {total}"
+          + (f", {sam_bytes / 1e6:.1f} MB SAM text" if SAM_MODE
+             else "") + ")", file=sys.stderr)
     if aligner.emf_checked:
         print(f"* EMF hits: {aligner.emf_hits}/{aligner.emf_checked}",
               file=sys.stderr)

@@ -143,3 +143,31 @@ def aln_to_sam_line(opt: MemOptions, bns, read, n: int, records: List[Aln],
     if read.comment and getattr(opt, "copy_comment", False):
         tags.append(read.comment)   # -C (bseq copy_comment)
     return "\t".join(cols + tags) + "\n"
+
+
+class _ShimRead:
+    __slots__ = ("name", "seq", "qual", "comment")
+
+    def __init__(self, name, seq, qual=None):
+        self.name = name
+        self.seq = seq
+        self.qual = qual
+        self.comment = None
+
+
+def compose_sam_python(opt, bns, codes_row, records, sam_ctx, i):
+    """Per-read SAM bytes via the Python writer — the fallback/EMF
+    route of the native text composer (compose_sam_se)."""
+    import numpy as np
+    names = sam_ctx.get("names")
+    quals = sam_ctx.get("quals")
+    name = (names[i].decode() if names is not None else f"r{i}")
+    qual = None
+    if quals is not None and quals[i]:
+        qual = quals[i].decode()
+    read = _ShimRead(name, np.asarray(codes_row, dtype=np.uint8), qual)
+    n = len(records)
+    return "".join(
+        aln_to_sam_line(opt, bns, read, n, records, w,
+                        rg_id=sam_ctx.get("rg_id"))
+        for w in range(n)).encode()

@@ -973,10 +973,15 @@ class TpuAligner:
             self.finalize_stage_a(handle, id_offset, read_ids))
 
     def finalize_stage_a(self, handle, id_offset: int = 0,
-                         read_ids=None):
+                         read_ids=None, sam_ctx=None):
         """Fetch extend results, run the per-read host work, and
         dispatch the CIGAR DP asynchronously (3-stage pipeline:
-        extend | cigar | records)."""
+        extend | cigar | records).
+
+        sam_ctx (dict with names/quals/rg_id) switches the native
+        path to composing finished SAM text per read (the
+        mem_aln2sam analogue, all in one C call) instead of boxed
+        Aln records — stage_b then returns {batch_idx: bytes}."""
         from .finalize import BatchFinalizer
         from ..utils.profiling import PROFILER
         opt = self.opt
@@ -1017,7 +1022,7 @@ class TpuAligner:
             # pm_records either way.
             nat = self._finalize_native(out, pf, codes, lens,
                                         id_offset, read_ids,
-                                        pm_records)
+                                        pm_records, sam_ctx=sam_ctx)
             if nat is not None:
                 return nat
         with PROFILER.phase("fetch_regs"):
@@ -1043,14 +1048,18 @@ class TpuAligner:
         fin = BatchFinalizer(opt, self.idx)
         with PROFILER.phase("cigar_begin"):
             state = fin.begin_batch(queries, finalized)
+        if sam_ctx is not None:   # full-Python fallback in sam mode
+            return ("pysam", (fin, state, pm_records), sam_ctx,
+                    codes, lens)
         return (fin, state, pm_records)
 
     def _finalize_native(self, out, pf, codes, lens, id_offset,
-                         read_ids, pm_records):
+                         read_ids, pm_records, sam_ctx=None):
         """Native-path stage a: returns a ('native', records) handle
         for finalize_stage_b, or None to fall back to Python (arena
         overflow). Overflow reads run the existing Python retry +
-        finalize machinery on the side."""
+        finalize machinery on the side. With sam_ctx, the native path
+        composes finished SAM text instead (('sam', bytes_by_idx))."""
         from . import native_finalize
         from .finalize import BatchFinalizer
         from ..utils.profiling import PROFILER
@@ -1089,38 +1098,85 @@ class TpuAligner:
                 "seedlen0": seedlen0_a[keep],
             }
             proc = np.flatnonzero(~overflow).astype(np.int32)
+            want = "raw" if sam_ctx is not None else "aln"
             rec_by_read = native_finalize.finalize_se_rows(
                 opt, self.idx, rows, proc, frac_rep, rids_arr,
-                codes, lens)
+                codes, lens, want=want)
         if rec_by_read is None:
             return None
+        if sam_ctx is not None:
+            from ..io.sam import compose_sam_python
+            sam_by_read = native_finalize.compose_sam_raw(
+                rec_by_read, opt, bns, codes, lens,
+                sam_ctx.get("names"), sam_ctx.get("quals"),
+                sam_ctx.get("rg_id"))
+            if sam_by_read is None:
+                return None
+            out_lines = [None] * B
+            for i in proc.tolist():
+                out_lines[i] = sam_by_read.get(i, b"")
+            if overflow.any():
+                by_idx = self._python_finalize_records(
+                    codes, lens, overflow, rids_arr)
+                for i, recs in by_idx.items():
+                    out_lines[i] = compose_sam_python(
+                        opt, bns, codes[i, : lens[i]], recs,
+                        sam_ctx, i)
+            for i, recs in pm_records.items():
+                out_lines[i] = compose_sam_python(
+                    opt, bns, codes[i, : lens[i]], recs, sam_ctx, i)
+            return ("sam", out_lines, {})
         out_records = [None] * B
         for i in proc.tolist():
             out_records[i] = rec_by_read.get(i)
         if overflow.any():
-            with PROFILER.phase("overflow_retry"):
-                all_regs = [[] for _ in range(B)]
-                all_regs = self._apply_overflow_retry(
-                    all_regs, overflow, codes, lens)
-            fin = BatchFinalizer(opt, self.idx)
-            ov = np.flatnonzero(overflow)
-            queries, finalized = [], []
-            for i in ov.tolist():
-                query = codes[i, : lens[i]].astype(np.uint8)
-                queries.append(query)
-                regs = sort_dedup_patch(opt, bns, ref, query,
-                                        all_regs[i])
-                regs, _ = mark_primary(opt, regs, int(rids_arr[i]))
-                if opt.flag & MEM_F_PRIMARY5:
-                    reorder_primary5(opt.T, regs)
-                finalized.append(regs)
-            recs = fin.records_for_batch(queries, finalized)
-            for j, i in enumerate(ov.tolist()):
-                out_records[i] = recs[j]
+            for i, recs in self._python_finalize_records(
+                    codes, lens, overflow, rids_arr).items():
+                out_records[i] = recs
         return ("native", out_records, pm_records)
+
+    def _python_finalize_records(self, codes, lens, overflow,
+                                 rids_arr):
+        """Overflow reads' records via the Python retry + finalize
+        machinery. Returns {batch_idx: [Aln, ...]}."""
+        from .finalize import BatchFinalizer
+        from ..utils.profiling import PROFILER
+        opt = self.opt
+        bns = self.idx.bns
+        ref = self.idx.ref_string
+        B = codes.shape[0]
+        with PROFILER.phase("overflow_retry"):
+            all_regs = [[] for _ in range(B)]
+            all_regs = self._apply_overflow_retry(
+                all_regs, overflow, codes, lens)
+        fin = BatchFinalizer(opt, self.idx)
+        ov = np.flatnonzero(overflow)
+        queries, finalized = [], []
+        for i in ov.tolist():
+            query = codes[i, : lens[i]].astype(np.uint8)
+            queries.append(query)
+            regs = sort_dedup_patch(opt, bns, ref, query,
+                                    all_regs[i])
+            regs, _ = mark_primary(opt, regs, int(rids_arr[i]))
+            if opt.flag & MEM_F_PRIMARY5:
+                reorder_primary5(opt.T, regs)
+            finalized.append(regs)
+        recs = fin.records_for_batch(queries, finalized)
+        return {i: recs[j] for j, i in enumerate(ov.tolist())}
 
     def finalize_stage_b(self, stage):
         from ..utils.profiling import PROFILER
+        if stage[0] == "sam":
+            return stage[1]
+        if stage[0] == "pysam":
+            from ..io.sam import compose_sam_python
+            _, inner, sam_ctx, codes, lens = stage
+            recs = self.finalize_stage_b(inner)
+            return [compose_sam_python(self.opt, self.idx.bns,
+                                       codes[i, : lens[i]], r,
+                                       sam_ctx, i)
+                    if r is not None else None
+                    for i, r in enumerate(recs)]
         if stage[0] == "native":
             _, out_records, pm_records = stage
             for i, recs in pm_records.items():

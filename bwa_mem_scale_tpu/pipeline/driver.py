@@ -160,12 +160,15 @@ def run_alignment(aligner, fastq_paths: List[str], out,
         while True:
             drained = True
             for rid, records in stream.ready():
-                read = reads_by_id.pop(rid)
                 with PROFILER.phase("sam_write"):
-                    for which in range(len(records)):
-                        out.write(aln_to_sam_line(opt, bns, read,
-                                                  len(records), records,
-                                                  which, rg_id=rg_id))
+                    if isinstance(records, bytes):   # native SAM text
+                        out.write(records.decode("ascii"))
+                    else:
+                        read = reads_by_id.pop(rid)
+                        for which in range(len(records)):
+                            out.write(aln_to_sam_line(
+                                opt, bns, read, len(records), records,
+                                which, rg_id=rg_id))
                 n_emitted += 1
                 wrote = True
             # jump the emit cursor over another host's batch
@@ -210,17 +213,36 @@ def run_alignment(aligner, fastq_paths: List[str], out,
                 pe_pending = (batch, ph, id_offset)
         else:
             if stream is None:
+                # Native SAM text mode: records AND their SAM lines
+                # are composed in C (compose_sam_se); the emit loop
+                # just writes bytes. Falls back to Aln records +
+                # the Python writer when the native library is
+                # unavailable or -C needs FASTQ comments appended.
+                from . import native_finalize
+                sam_mode = (native_finalize.available()
+                            and not getattr(opt, "copy_comment",
+                                            False))
                 stream = SeStream(aligner, batch_reads,
-                                  int(codes.shape[1]))
+                                  int(codes.shape[1]), sam=sam_mode,
+                                  rg_id=rg_id)
                 stream.next_emit = id_offset   # global ordinals
-            for ri, read in enumerate(batch.reads):
-                reads_by_id[id_offset + ri] = read
+            if not stream.sam:
+                for ri, read in enumerate(batch.reads):
+                    reads_by_id[id_offset + ri] = read
             # Long-read-regime reads (mem_flt_chained_seeds active,
             # src/bwamem.cpp:506) run on the device path too: the
             # seed-SW filter is traced into long-L jit buckets
             # (ops/seedsw.py).
             with PROFILER.phase("align_batch"):
-                stream.feed(codes.astype(np.int32), lens, id_offset)
+                if stream.sam:
+                    stream.feed(
+                        codes.astype(np.int32), lens, id_offset,
+                        names=[r.name.encode() for r in batch.reads],
+                        quals=[r.qual.encode() if r.qual else b""
+                               for r in batch.reads])
+                else:
+                    stream.feed(codes.astype(np.int32), lens,
+                                id_offset)
             emit_ready()
         n_reads += len(batch)
         id_offset += len(batch)

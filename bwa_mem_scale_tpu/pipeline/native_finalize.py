@@ -51,6 +51,7 @@ def _load():
                        check=True, capture_output=True)
     lib = ctypes.CDLL(_LIB_PATH)
     lib.finalize_se_batch.restype = ctypes.c_int64
+    lib.compose_sam_se.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -83,7 +84,8 @@ def _bns_arrays(bns):
 
 
 def finalize_se_rows(opt, idx, rows, proc_reads, frac_rep, read_ids,
-                     codes, lens, extra_flag: int = 0):
+                     codes, lens, extra_flag: int = 0,
+                     want: str = "aln"):
     """Run the native finalizer.
 
     rows: dict of column arrays (read, rb, re, qb, qe, rid, score,
@@ -217,6 +219,16 @@ def finalize_se_rows(opt, idx, rows, proc_reads, frac_rep, read_ids,
         raise RuntimeError("native finalize: rid consistency failure")
     n_rec = int(rc)
 
+    if want == "raw":
+        return dict(
+            n_rec=n_rec, rd_nrec=rd_nrec,
+            read=rec_read, rid=rec_rid, pos=rec_pos, flag=rec_flag,
+            mapq=rec_mapq, score=rec_score, sub=rec_sub, nm=rec_nm,
+            alt_sc=rec_alt_sc, is_rev=rec_is_rev, is_alt=rec_is_alt,
+            ncig=rec_ncig, cig=cig_out, cig_stride=CIG_STRIDE,
+            md_arena=md_arena, md_off=rec_md_off, md_len=rec_md_len,
+            xa_arena=xa_arena, xa_off=rec_xa_off, xa_len=rec_xa_len)
+
     # Bulk-convert once (tolist is a C loop; per-element np scalar
     # access costs more than the native call itself at batch scale).
     with PROFILER.phase("native_conv"):
@@ -262,3 +274,121 @@ def finalize_se_rows(opt, idx, rows, proc_reads, frac_rep, read_ids,
             out.setdefault(rd, []).append(a)
         return out
 
+
+
+# ---- native SAM text composition (compose_sam_se) -------------------
+
+def blob_offsets(items, n):
+    """(blob bytes, off int64[n+1]) for a length-n list of bytes."""
+    off = np.zeros(n + 1, dtype=np.int64)
+    if items is None:
+        return b"", off
+    parts = []
+    pos = 0
+    for i, it in enumerate(items):
+        off[i] = pos
+        if it:
+            parts.append(it)
+            pos += len(it)
+    off[n] = pos
+    return b"".join(parts), off
+
+
+def perfect_raw(read_idx, rid, pos, is_rev, is_alt, l_seq: int,
+                score: int):
+    """Synthetic record-array block for EMF perfect hits (one record
+    per read: FLAG 0, MAPQ 60, CIGAR <L>M, NM 0, MD <L>, XS 0 — the
+    mem_aln2sam_perfect record, reference src/perfect_map.cpp)."""
+    n = len(read_idx)
+    md = str(l_seq).encode()
+    md_arena = np.frombuffer(md, dtype=np.uint8)
+    z = np.zeros(n, dtype=np.int32)
+    cig = np.full((n, 1), (l_seq << 4) | 0, dtype=np.uint32)
+    return dict(
+        n_rec=n, rd_nrec=np.ones(n, np.int32),
+        read=np.asarray(read_idx, np.int32),
+        rid=np.asarray(rid, np.int32),
+        pos=np.asarray(pos, np.int64),
+        flag=z, mapq=np.full(n, 60, np.int32),
+        score=np.full(n, score, np.int32), sub=z,
+        nm=z, alt_sc=z,
+        is_rev=np.asarray(is_rev, np.uint8),
+        is_alt=np.asarray(is_alt, np.uint8),
+        ncig=np.ones(n, np.int32), cig=cig, cig_stride=1,
+        md_arena=md_arena, md_off=np.zeros(n, np.int64),
+        md_len=np.full(n, len(md), np.int32),
+        xa_arena=np.zeros(1, np.uint8), xa_off=np.zeros(n, np.int64),
+        xa_len=z)
+
+
+def compose_sam_raw(raw, opt, bns, codes, lens, names, quals=None,
+                    rg_id=None):
+    """Compose SAM lines for every read present in `raw` (a raw dict
+    from finalize_se_rows(want='raw') or perfect_raw). Returns
+    {read_idx: bytes} — each value is ALL of that read's lines
+    (newline-terminated). None on arena overflow (caller falls back
+    to the Python writer)."""
+    lib = _load()
+    n_rec = raw["n_rec"]
+    B = codes.shape[0]
+    if n_rec == 0:
+        return {}
+    ann_off, ann_len, ann_alt, cnames, name_off = _bns_arrays(bns)
+    codes = np.ascontiguousarray(codes, dtype=np.int32)
+    lens = np.ascontiguousarray(lens, dtype=np.int32)
+    qblob, qoff = blob_offsets(names, B)
+    if quals is not None and any(quals):
+        ublob, uoff = blob_offsets(quals, B)
+    else:
+        ublob, uoff = None, np.zeros(B + 1, dtype=np.int64)
+    cap = max(1 << 20, n_rec * 520 + int(raw["xa_len"].sum()))
+    arena = np.zeros(cap, dtype=np.uint8)
+    read_off = np.zeros(B, dtype=np.int64)
+    read_len = np.zeros(B, dtype=np.int32)
+    c = lambda a, t: np.ascontiguousarray(a).ctypes.data_as(
+        ctypes.POINTER(t))
+    from ..utils.profiling import PROFILER
+    with PROFILER.phase("native_sam"):
+        rc = lib.compose_sam_se(
+            ctypes.c_int64(n_rec),
+            c(raw["read"], ctypes.c_int32), c(raw["rid"], ctypes.c_int32),
+            c(raw["pos"], ctypes.c_int64), c(raw["flag"], ctypes.c_int32),
+            c(raw["mapq"], ctypes.c_int32),
+            c(raw["score"], ctypes.c_int32),
+            c(raw["sub"], ctypes.c_int32), c(raw["nm"], ctypes.c_int32),
+            c(raw["alt_sc"], ctypes.c_int32),
+            c(raw["is_rev"], ctypes.c_uint8),
+            c(raw["is_alt"], ctypes.c_uint8),
+            c(raw["ncig"], ctypes.c_int32),
+            c(raw["cig"].reshape(-1), ctypes.c_uint32),
+            ctypes.c_int32(raw["cig_stride"]),
+            raw["md_arena"].ctypes.data_as(ctypes.c_char_p),
+            c(raw["md_off"], ctypes.c_int64),
+            c(raw["md_len"], ctypes.c_int32),
+            raw["xa_arena"].ctypes.data_as(ctypes.c_char_p),
+            c(raw["xa_off"], ctypes.c_int64),
+            c(raw["xa_len"], ctypes.c_int32),
+            c(codes, ctypes.c_int32), ctypes.c_int64(codes.shape[1]),
+            c(lens, ctypes.c_int32),
+            ctypes.c_char_p(qblob), c(qoff, ctypes.c_int64),
+            ctypes.c_char_p(ublob), c(uoff, ctypes.c_int64),
+            ctypes.c_char_p(cnames), c(name_off, ctypes.c_int64),
+            ctypes.c_int32(opt.flag),
+            ctypes.c_char_p(rg_id.encode() if rg_id else None),
+            arena.ctypes.data_as(ctypes.c_char_p),
+            ctypes.c_int64(cap),
+            c(read_off, ctypes.c_int64), c(read_len, ctypes.c_int32))
+    if rc < 0:
+        return None
+    blob = arena[:int(rc)].tobytes()
+    out = {}
+    reads = raw["read"]
+    # unique read indices in order
+    seen = -1
+    for j in range(n_rec):
+        i = int(reads[j])
+        if i != seen:
+            out[i] = blob[int(read_off[i]): int(read_off[i])
+                          + int(read_len[i])]
+            seen = i
+    return out

@@ -31,7 +31,8 @@ class SeStream:
     """Feed raw read batches in, collect per-read records in input
     order. One device batch is kept in flight (dispatch-ahead)."""
 
-    def __init__(self, aligner, batch_reads: int, max_len: int):
+    def __init__(self, aligner, batch_reads: int, max_len: int,
+                 sam: bool = False, rg_id=None):
         self.al = aligner
         self.B = batch_reads
         self.L = max_len
@@ -40,6 +41,13 @@ class SeStream:
         self.backlog_ids: List[int] = []
         self.results: Dict[int, list] = {}
         self.next_emit = 0
+        # sam mode: results hold finished SAM text (bytes) per read,
+        # composed natively (compose_sam_se) — the production CLI
+        # path; Aln mode remains for PE and the record-level API.
+        self.sam = sam
+        self.rg_id = rg_id
+        self.backlog_names: List[bytes] = []
+        self.backlog_quals: List[bytes] = []
         # 3-stage pipeline: extend in flight -> cigar DP in flight
         self.pending: deque = deque()    # (ids, extend handle)
         self.pending2: deque = deque()   # (ids, finalize stage)
@@ -51,10 +59,10 @@ class SeStream:
         self.results[rid] = records
 
     def feed(self, codes: np.ndarray, lens: np.ndarray,
-             first_id: int, skip=None) -> None:
+             first_id: int, skip=None, names=None, quals=None) -> None:
         """codes [n, L'] int32 (L' <= max_len), lens [n]. Rows where
         `skip` is True are not processed — the caller resolves them
-        via post_result."""
+        via post_result. names/quals: per-row bytes (sam mode)."""
         from .perfect import perfect_sam_records
         from ..ops.emf import FW_MATCHED, RC_MATCHED
         n = codes.shape[0]
@@ -64,6 +72,10 @@ class SeStream:
             codes = codes[keep]
             lens = np.asarray(lens)[keep]
             ids = ids[keep]
+            if names is not None:
+                names = [nm for nm, k in zip(names, keep) if k]
+            if quals is not None:
+                quals = [q for q, k in zip(quals, keep) if k]
             n = codes.shape[0]
             if n == 0:
                 return
@@ -71,6 +83,8 @@ class SeStream:
             w = int(lens.max())
             if w < codes.shape[1]:
                 codes = codes[:, :w]
+        if self.sam and names is None:
+            names = [b"r%d" % i for i in ids]
         if codes.shape[1] > self.L:   # longer reads arrived: grow
             self.L = int(codes.shape[1])
             self.backlog_codes = [
@@ -120,21 +134,45 @@ class SeStream:
                     alt = np.asarray(bns.is_alt)[rid]
                     L = int(pt.seed_len)
                     score = L * opt.a
-                    mk = _mk_perfect_aln
-                    for j in range(fi.size):
-                        self.results[int(ids[fi[j]])] = [
-                            mk(int(pos[j]), int(rid[j]), bool(rev[j]),
-                               bool(alt[j]), L, score)]
+                    if self.sam:
+                        from .native_finalize import (perfect_raw,
+                                                      compose_sam_raw)
+                        raw = perfect_raw(fi, rid, pos, rev, alt, L,
+                                          score)
+                        sams = compose_sam_raw(
+                            raw, opt, bns, codes, lens, names,
+                            quals, self.rg_id)
+                        for j in range(fi.size):
+                            self.results[int(ids[fi[j]])] = \
+                                sams[int(fi[j])]
+                    else:
+                        mk = _mk_perfect_aln
+                        for j in range(fi.size):
+                            self.results[int(ids[fi[j]])] = [
+                                mk(int(pos[j]), int(rid[j]),
+                                   bool(rev[j]), bool(alt[j]), L,
+                                   score)]
                 for i in hit[~fast]:
                     read = codes[i, : lens[i]].astype(np.uint8)
-                    self.results[int(ids[i])] = perfect_sam_records(
+                    recs = perfect_sam_records(
                         opt, bns, self.al.emf, ref, read,
                         int(pm["code"][i]), int(pm["slot"][i]),
                         loc0=int(pm["loc"][i]))
+                    if self.sam:
+                        from ..io.sam import compose_sam_python
+                        recs = compose_sam_python(
+                            opt, bns, read, recs,
+                            dict(names=names, quals=quals,
+                                 rg_id=self.rg_id), int(i))
+                    self.results[int(ids[i])] = recs
         for i in np.flatnonzero(~is_pm):
             self.backlog_codes.append(codes[i])
             self.backlog_lens.append(int(lens[i]))
             self.backlog_ids.append(int(ids[i]))
+            if self.sam:
+                self.backlog_names.append(names[i])
+                self.backlog_quals.append(
+                    quals[i] if quals is not None else b"")
         while len(self.backlog_ids) >= self.B:
             self._dispatch(self.B)
 
@@ -145,6 +183,15 @@ class SeStream:
         del self.backlog_codes[:take]
         del self.backlog_lens[:take]
         del self.backlog_ids[:take]
+        sam_ctx = None
+        if self.sam:
+            pad = self.B - take
+            sam_ctx = dict(
+                names=self.backlog_names[:take] + [b""] * pad,
+                quals=self.backlog_quals[:take] + [b""] * pad,
+                rg_id=self.rg_id)
+            del self.backlog_names[:take]
+            del self.backlog_quals[:take]
         if take < self.B:   # ragged tail: pad with dead lanes
             pad = self.B - take
             codes = np.concatenate(
@@ -166,24 +213,27 @@ class SeStream:
         # extend.
         held = []
         while self.pending:
-            ids1, h = self.pending.popleft()
+            ids1, h, sc1 = self.pending.popleft()
             with PROFILER.phase("fetch_wait"):
                 h = self.al.fetch_extend(h)
             if (h[4]["slot"]["meta"][:, 1] > 0.5).any():
                 with PROFILER.phase("finalize_a"):
                     self.pending2.append(
                         (ids1,
-                         self.al.finalize_stage_a(h, read_ids=ids1)))
+                         self.al.finalize_stage_a(h, read_ids=ids1,
+                                                  sam_ctx=sc1)))
             else:
-                held.append((ids1, h))
+                held.append((ids1, h, sc1))
         with PROFILER.phase("dispatch_extend"):
             handle = self.al.dispatch_batch(codes, lens, skip_emf=True)
-        for ids1, h in held:
+        for ids1, h, sc1 in held:
             with PROFILER.phase("finalize_a"):
                 self.pending2.append(
-                    (ids1, self.al.finalize_stage_a(h, read_ids=ids1)))
+                    (ids1, self.al.finalize_stage_a(h, read_ids=ids1,
+                                                    sam_ctx=sc1)))
         # pad ids for dead lanes (their empty reg lists ignore the id)
-        self.pending.append((ids + [-1] * (self.B - take), handle))
+        self.pending.append((ids + [-1] * (self.B - take), handle,
+                             sam_ctx))
         while self.pending2:
             self._complete_oldest()
 
@@ -205,9 +255,10 @@ class SeStream:
         if self.backlog_ids:
             self._dispatch(len(self.backlog_ids))
         while self.pending:
-            ids1, h = self.pending.popleft()
+            ids1, h, sc1 = self.pending.popleft()
             with PROFILER.phase("finalize_a"):
                 self.pending2.append(
-                    (ids1, self.al.finalize_stage_a(h, read_ids=ids1)))
+                    (ids1, self.al.finalize_stage_a(h, read_ids=ids1,
+                                                    sam_ctx=sc1)))
         while self.pending2:
             self._complete_oldest()

@@ -774,3 +774,222 @@ int64_t finalize_se_batch(
 }
 
 }  // extern "C"
+
+// ---- SAM text composition (mem_aln2sam, io/sam.py:52-145) ----------
+//
+// Composes final SE SAM lines straight from the flat record arrays
+// finalize_se_batch produced (plus EMF perfect-hit records appended
+// by the caller as synthetic rows). Per processed read, all its
+// records' lines are concatenated into the shared text arena with
+// one (off, len) per read. Returns bytes used, or -1 on arena
+// overflow (caller falls back to the Python writer).
+
+namespace {
+
+inline void put_u32(std::string& s, uint32_t v) { s += std::to_string(v); }
+inline void put_i64(std::string& s, int64_t v) { s += std::to_string(v); }
+
+const char NT_FWD[] = "ACGTN";
+const char NT_REV[] = "TGCAN";
+const char CIG_OP[] = "MIDSHN";
+
+}  // namespace
+
+extern "C" {
+
+int64_t compose_sam_se(
+    // records (read-major, grouped)
+    int64_t n_rec, const int32_t* rec_read, const int32_t* rec_rid,
+    const int64_t* rec_pos, const int32_t* rec_flag,
+    const int32_t* rec_mapq, const int32_t* rec_score,
+    const int32_t* rec_sub, const int32_t* rec_nm,
+    const int32_t* rec_alt_sc, const uint8_t* rec_is_rev,
+    const uint8_t* rec_is_alt, const int32_t* rec_ncig,
+    const uint32_t* cig_out, int32_t cig_stride,
+    const char* md_arena, const int64_t* rec_md_off,
+    const int32_t* rec_md_len, const char* xa_arena,
+    const int64_t* rec_xa_off, const int32_t* rec_xa_len,
+    // per-read inputs
+    const int32_t* codes, int64_t codes_stride, const int32_t* lens,
+    const char* qname_blob, const int64_t* qname_off,   // [B+1]
+    const char* qual_blob, const int64_t* qual_off,     // nullable
+    // contig names
+    const char* names, const int64_t* name_off,
+    // options
+    int32_t opt_flag, const char* rg_id,
+    // output
+    char* sam_arena, int64_t sam_cap,
+    int64_t* read_off, int32_t* read_len) {
+    constexpr int32_t F_SOFTCLIP = 0x200;
+    constexpr int32_t F_NO_MULTI_MARK = 0x10000;
+    std::string line;
+    std::string seqbuf, qualbuf;
+    int64_t used = 0;
+    int64_t r0 = 0;
+    while (r0 < n_rec) {
+        const int32_t i = rec_read[r0];
+        int64_t r1 = r0;
+        while (r1 < n_rec && rec_read[r1] == i) ++r1;
+        const int nrec = (int)(r1 - r0);
+        const int l_seq = lens[i];
+        const int32_t* crow = codes + (int64_t)i * codes_stride;
+        const int64_t rd_start = used;
+        for (int which = 0; which < nrec; ++which) {
+            const int64_t r = r0 + which;
+            int32_t flag = rec_flag[r];
+            const bool mapped = rec_rid[r] >= 0;
+            if (!mapped) flag |= 0x4;
+            if (rec_is_rev[r]) flag |= 0x10;
+            line.clear();
+            // QNAME, FLAG
+            line.append(qname_blob + qname_off[i],
+                        qname_off[i + 1] - qname_off[i]);
+            line += '\t';
+            put_u32(line, (uint32_t)((flag & 0xFFFF)
+                                     | ((flag & F_NO_MULTI_MARK) ? 0x100
+                                                                 : 0)));
+            line += '\t';
+            const int ncig = rec_ncig[r];
+            const uint32_t* cig = cig_out + r * cig_stride;
+            if (mapped) {
+                line += names + name_off[rec_rid[r]];
+                line += '\t';
+                put_i64(line, rec_pos[r] + 1);
+                line += '\t';
+                put_u32(line, (uint32_t)rec_mapq[r]);
+                line += '\t';
+                if (ncig == 0) {
+                    line += '*';
+                } else {
+                    for (int c = 0; c < ncig; ++c) {
+                        uint32_t op = cig[c] & 0xF;
+                        if (!(opt_flag & F_SOFTCLIP) && !rec_is_alt[r]
+                            && (op == 3 || op == 4))
+                            op = which ? 4 : 3;
+                        put_u32(line, cig[c] >> 4);
+                        line += CIG_OP[op];
+                    }
+                }
+            } else {
+                line += "*\t0\t0\t*";
+            }
+            line += "\t*\t0\t0\t";   // SE: no mate columns
+            // SEQ/QUAL
+            if (flag & 0x100) {
+                line += "*\t*";
+            } else {
+                int qb = 0, qe = l_seq;
+                if (ncig && which && !(opt_flag & F_SOFTCLIP)
+                    && !rec_is_alt[r]) {
+                    const uint32_t f_op = cig[0] & 0xF,
+                                   l_op = cig[ncig - 1] & 0xF;
+                    const int32_t f_ln = cig[0] >> 4,
+                                  l_ln = cig[ncig - 1] >> 4;
+                    if (!rec_is_rev[r]) {
+                        if (f_op == 3 || f_op == 4) qb += f_ln;
+                        if (l_op == 3 || l_op == 4) qe -= l_ln;
+                    } else {
+                        if (f_op == 3 || f_op == 4) qe -= f_ln;
+                        if (l_op == 3 || l_op == 4) qb += l_ln;
+                    }
+                }
+                seqbuf.clear();
+                if (!rec_is_rev[r]) {
+                    for (int k = qb; k < qe; ++k) {
+                        int32_t c = crow[k];
+                        seqbuf += NT_FWD[c > 4 ? 4 : c];
+                    }
+                } else {
+                    for (int k = qe - 1; k >= qb; --k) {
+                        int32_t c = crow[k];
+                        seqbuf += NT_REV[c > 4 ? 4 : c];
+                    }
+                }
+                line += seqbuf;
+                line += '\t';
+                if (qual_blob) {
+                    const char* qs = qual_blob + qual_off[i];
+                    const int64_t ql = qual_off[i + 1] - qual_off[i];
+                    if (ql == 0) {
+                        line += '*';
+                    } else if (!rec_is_rev[r]) {
+                        line.append(qs + qb, qe - qb);
+                    } else {
+                        for (int k = qe - 1; k >= qb; --k) line += qs[k];
+                    }
+                } else {
+                    line += '*';
+                }
+            }
+            // tags
+            if (ncig) {
+                line += "\tNM:i:";
+                put_u32(line, (uint32_t)rec_nm[r]);
+                line += "\tMD:Z:";
+                line.append(md_arena + rec_md_off[r], rec_md_len[r]);
+            }
+            if (rec_score[r] >= 0) {
+                line += "\tAS:i:";
+                put_u32(line, (uint32_t)rec_score[r]);
+            }
+            if (rec_sub[r] >= 0) {
+                line += "\tXS:i:";
+                put_u32(line, (uint32_t)rec_sub[r]);
+            }
+            if (rg_id && *rg_id) {
+                line += "\tRG:Z:";
+                line += rg_id;
+            }
+            if (!(flag & 0x100)) {
+                bool any_other = false;
+                for (int o = 0; o < nrec; ++o)
+                    if (o != which && !(rec_flag[r0 + o] & 0x100))
+                        any_other = true;
+                if (any_other) {
+                    line += "\tSA:Z:";
+                    for (int o = 0; o < nrec; ++o) {
+                        const int64_t rr = r0 + o;
+                        if (o == which || (rec_flag[rr] & 0x100))
+                            continue;
+                        line += names + name_off[rec_rid[rr]];
+                        line += ',';
+                        put_i64(line, rec_pos[rr] + 1);
+                        line += ',';
+                        line += rec_is_rev[rr] ? '-' : '+';
+                        line += ',';
+                        const uint32_t* oc = cig_out + rr * cig_stride;
+                        for (int c = 0; c < rec_ncig[rr]; ++c) {
+                            put_u32(line, oc[c] >> 4);
+                            line += CIG_OP[oc[c] & 0xF];
+                        }
+                        line += ',';
+                        put_u32(line, (uint32_t)rec_mapq[rr]);
+                        line += ',';
+                        put_u32(line, (uint32_t)rec_nm[rr]);
+                        line += ';';
+                    }
+                }
+                if (rec_alt_sc[r] > 0) {
+                    char buf[40];
+                    snprintf(buf, sizeof buf, "\tpa:f:%.3f",
+                             (double)rec_score[r] / rec_alt_sc[r]);
+                    line += buf;
+                }
+            }
+            if (rec_xa_len[r]) {
+                line += "\tXA:Z:";
+                line.append(xa_arena + rec_xa_off[r], rec_xa_len[r]);
+            }
+            line += '\n';
+            if (used + (int64_t)line.size() > sam_cap) return -1;
+            std::memcpy(sam_arena + used, line.data(), line.size());
+            used += (int64_t)line.size();
+        }
+        read_off[i] = rd_start;
+        read_len[i] = (int32_t)(used - rd_start);
+        r0 = r1;
+    }
+    return used;
+}
+
+}  // extern "C"
