@@ -34,8 +34,12 @@ BWAMEM2_40CORE_EST = 330_000.0
 
 GENOME_BP = int(os.environ.get("BENCH_GENOME_BP", 4_600_000))
 READ_LEN = int(os.environ.get("BENCH_READ_LEN", 101))
-BATCH = int(os.environ.get("BENCH_BATCH", 4096))
-N_BATCHES = int(os.environ.get("BENCH_N_BATCHES", 8))
+# 8192 measured best end-to-end (chip, round 5): amortizes the
+# ~26 ms tunnel dispatch+fetch RTT and the seeding gathers' fixed
+# cost without starving pipeline overlap (16384 x 2 batches lost the
+# overlap edges: 23.0k vs 35.1k reads/s e2e)
+BATCH = int(os.environ.get("BENCH_BATCH", 8192))
+N_BATCHES = int(os.environ.get("BENCH_N_BATCHES", 4))
 ERR = 0.01
 FMA_K = int(os.environ.get("BENCH_FMA_K", 11))
 # onehot: scatter-free read-per-lane machine (ops/smem_oh.py) —

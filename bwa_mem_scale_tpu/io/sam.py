@@ -155,7 +155,8 @@ class _ShimRead:
         self.comment = None
 
 
-def compose_sam_python(opt, bns, codes_row, records, sam_ctx, i):
+def compose_sam_python(opt, bns, codes_row, records, sam_ctx, i,
+                       mate=None):
     """Per-read SAM bytes via the Python writer — the fallback/EMF
     route of the native text composer (compose_sam_se)."""
     import numpy as np
@@ -168,6 +169,6 @@ def compose_sam_python(opt, bns, codes_row, records, sam_ctx, i):
     read = _ShimRead(name, np.asarray(codes_row, dtype=np.uint8), qual)
     n = len(records)
     return "".join(
-        aln_to_sam_line(opt, bns, read, n, records, w,
+        aln_to_sam_line(opt, bns, read, n, records, w, mate=mate,
                         rg_id=sam_ctx.get("rg_id"))
         for w in range(n)).encode()

@@ -1234,11 +1234,34 @@ class TpuAligner:
 
     def fetch_pairs(self, ph):
         """PE stage 2: the extend-result fetch — the device sync
-        point (prefetched on a background thread since dispatch)."""
+        point. With the native PE pipeline available, the packed
+        arrays are kept raw (no per-region Python objects — that
+        conversion alone was 24% of PE wall); only overflow reads
+        take the Python retry to region lists."""
+        import os as _os
         codes, lens, pm_regs, handle = ph
         handle, pf = self._join_prefetch(handle)
         out = handle[3]
         from ..utils.profiling import PROFILER
+        from . import native_finalize
+        if (native_finalize.available()
+                and not _os.environ.get("BWA_TPU_NO_NATIVE_PE")):
+            with PROFILER.phase("fetch_pack"):
+                if pf is not None:
+                    pk, meta = pf["packed"], pf["meta"]
+                else:
+                    pk = np.asarray(out["packed"])
+                    meta = np.asarray(out["meta"])
+            overflow = meta[:, 1] > 0.5
+            ov_regs = {}
+            if overflow.any():
+                with PROFILER.phase("overflow_retry"):
+                    B = codes.shape[0]
+                    tmp = self._apply_overflow_retry(
+                        [[] for _ in range(B)], overflow, codes, lens)
+                for i in np.flatnonzero(overflow).tolist():
+                    ov_regs[i] = tmp[i]
+            return ("raw", codes, lens, pm_regs, pk, meta, ov_regs)
         with PROFILER.phase("fetch_regs"):
             all_regs, overflow = self._regs_from_device(out, codes,
                                                         prefetched=pf)
@@ -1248,11 +1271,116 @@ class TpuAligner:
                     all_regs, overflow, codes, lens)
         return (codes, lens, pm_regs, all_regs)
 
-    def pe_post(self, fetched, id_offset: int = 0):
+    def pe_post(self, fetched, id_offset: int = 0, sam_ctx=None):
         """PE stage 3 (host-only): pestat, native mate rescue,
         pairing, record composition — overlap with the next batch's
         extend. Mirrors worker_sam's PE flow
-        (src/bwamem.cpp:1668-1830)."""
+        (src/bwamem.cpp:1668-1830). The native pipeline
+        (finalize_pe_batch) runs the whole stage in one C call; the
+        Python path remains the oracle and fallback. With sam_ctx
+        the records come back as finished SAM bytes per read."""
+        if isinstance(fetched[0], str) and fetched[0] == "raw":
+            out = self._pe_post_native(fetched, id_offset,
+                                       sam_ctx=sam_ctx)
+            if out is not None:
+                return out
+            fetched = self._raw_to_python_fetch(fetched)
+        records, mates = self._pe_post_python(fetched, id_offset)
+        if sam_ctx is not None:
+            from ..io.sam import compose_sam_python
+            codes, lens = fetched[0], fetched[1]
+            records = [compose_sam_python(
+                self.opt, self.idx.bns, codes[i, : lens[i]], r,
+                sam_ctx, i, mate=mates[i]) if r is not None else None
+                for i, r in enumerate(records)]
+        return records, mates
+
+    def _raw_to_python_fetch(self, fetched):
+        """Materialize the Python (codes, lens, pm_regs, all_regs)
+        form from a raw fetch tuple (native-path fallback)."""
+        _, codes, lens, pm_regs, pk, meta, ov_regs = fetched
+        all_regs, _of = self._regs_from_device(
+            None, codes, prefetched={"packed": pk, "meta": meta})
+        for i, regs in ov_regs.items():
+            all_regs[i] = regs
+        return (codes, lens, pm_regs, all_regs)
+
+    def _pe_post_native(self, fetched, id_offset: int, sam_ctx=None):
+        """One-call native PE post (finalize_pe_batch). Returns
+        (records, mates) or None to fall back to Python. With
+        sam_ctx, records are finished SAM bytes per read
+        (compose_sam_se in PE mode: mate columns + TLEN)."""
+        from . import native_finalize
+        from ..utils.profiling import PROFILER
+        _, codes, lens, pm_regs, pk, meta, ov_regs = fetched
+        B = codes.shape[0]
+        n_pairs = B // 2
+        with PROFILER.phase("pe_rows"):
+            frac_rep = np.ascontiguousarray(meta[:, 0],
+                                            dtype=np.float32)
+            overflow = meta[:, 1] > 0.5
+            (valid, read, qb_a, qe_a, score_a, truesc_a, w_a,
+             seedcov_a, rid_a, seedlen0_a, rb_lo, rb_hi, re_lo,
+             re_hi) = pk.T
+            bad = overflow.copy()
+            for i in pm_regs:
+                bad[i] = True
+            keep = (valid & (qe_a > qb_a)).astype(bool) \
+                & ~bad[read]
+            cols = dict(
+                read=read[keep],
+                rb=(rb_hi[keep].astype(np.int64) << 31) | rb_lo[keep],
+                re=(re_hi[keep].astype(np.int64) << 31) | re_lo[keep],
+                qb=qb_a[keep], qe=qe_a[keep], rid=rid_a[keep],
+                score=score_a[keep], truesc=truesc_a[keep],
+                w=w_a[keep], seedcov=seedcov_a[keep],
+                seedlen0=seedlen0_a[keep])
+            extra = []
+            for src in (pm_regs, ov_regs):
+                for i, regs in src.items():
+                    for r in regs:
+                        extra.append((i, r.rb, r.re, r.qb, r.qe,
+                                      r.rid, r.score, r.truesc, r.w,
+                                      r.seedcov, r.seedlen0))
+                    if src is ov_regs and regs:
+                        frac_rep[i] = regs[0].frac_rep
+            if extra:
+                ex = np.asarray(extra, dtype=np.int64)
+                names = ("read", "rb", "re", "qb", "qe", "rid",
+                         "score", "truesc", "w", "seedcov",
+                         "seedlen0")
+                allc = {k: np.concatenate(
+                    [np.asarray(cols[k], np.int64), ex[:, j]])
+                    for j, k in enumerate(names)}
+                order = np.argsort(allc["read"], kind="stable")
+                rows = {k: v[order] for k, v in allc.items()}
+            else:
+                rows = cols
+            skip_dedup = np.zeros(B, dtype=np.uint8)
+            for i in pm_regs:
+                skip_dedup[i] = 1
+            read_ids = id_offset + np.arange(B, dtype=np.int64)
+        res = native_finalize.finalize_pe_rows(
+            self.opt, self.idx, rows, n_pairs, frac_rep, read_ids,
+            skip_dedup, codes, lens, pes_in=self.pes,
+            want="raw" if sam_ctx is not None else "aln")
+        if res is None:
+            return None
+        if sam_ctx is not None:
+            raw, mate_arrs, _pes = res
+            sam_by_read = native_finalize.compose_sam_raw(
+                raw, self.opt, self.idx.bns, codes, lens,
+                sam_ctx.get("names"), sam_ctx.get("quals"),
+                sam_ctx.get("rg_id"), mate=mate_arrs)
+            if sam_by_read is None:
+                return None
+            records = [sam_by_read.get(i, b"") for i in range(B)]
+            return records, [None] * B
+        recs_by_read, mates, _pes = res
+        records = [recs_by_read.get(i, []) for i in range(B)]
+        return records, mates
+
+    def _pe_post_python(self, fetched, id_offset: int = 0):
         from .pe import (mem_pestat, build_rescue_jobs, run_rescue_jobs,
                          apply_rescues, sam_pe_records)
         opt = self.opt

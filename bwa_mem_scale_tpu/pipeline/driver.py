@@ -137,13 +137,26 @@ def run_alignment(aligner, fastq_paths: List[str], out,
         with PROFILER.phase("sam_write"):
             for ri, (read, records) in enumerate(
                     zip(batch.reads, records_per_read)):
-                for which in range(len(records)):
-                    out.write(aln_to_sam_line(opt, bns, read,
-                                              len(records), records,
-                                              which, mate=mates[ri],
-                                              rg_id=rg_id))
+                if isinstance(records, bytes):  # native SAM text
+                    out.write(records.decode("ascii"))
+                else:
+                    for which in range(len(records)):
+                        out.write(aln_to_sam_line(
+                            opt, bns, read, len(records), records,
+                            which, mate=mates[ri], rg_id=rg_id))
                 n_emitted += 1
         write_checkpoint()
+
+    def pe_sam_ctx(batch):
+        from . import native_finalize
+        if (not native_finalize.available()
+                or getattr(opt, "copy_comment", False)):
+            return None
+        return dict(
+            names=[r.name.encode() for r in batch.reads],
+            quals=[r.qual.encode() if r.qual else b""
+                   for r in batch.reads],
+            rg_id=rg_id)
 
     # SE path: EMF-compacted streaming with one device batch in
     # flight (pipeline/stream.py); records re-emitted in input order.
@@ -208,7 +221,8 @@ def run_alignment(aligner, fastq_paths: List[str], out,
                 ph = aligner.dispatch_pairs(codes.astype(np.int32),
                                             lens)
                 if pe_pending is not None:
-                    records0, mates0 = aligner.pe_post(fetched0, off0)
+                    records0, mates0 = aligner.pe_post(
+                        fetched0, off0, sam_ctx=pe_sam_ctx(b0))
                     emit(b0, records0, mates0)
                 pe_pending = (batch, ph, id_offset)
         else:
@@ -259,7 +273,8 @@ def run_alignment(aligner, fastq_paths: List[str], out,
         b0, ph0, off0 = pe_pending
         with PROFILER.phase("align_batch"):
             records0, mates0 = aligner.pe_post(
-                aligner.fetch_pairs(ph0), off0)
+                aligner.fetch_pairs(ph0), off0,
+                sam_ctx=pe_sam_ctx(b0))
         emit(b0, records0, mates0)
     if stream is not None:
         with PROFILER.phase("align_batch"):

@@ -52,6 +52,7 @@ def _load():
     lib = ctypes.CDLL(_LIB_PATH)
     lib.finalize_se_batch.restype = ctypes.c_int64
     lib.compose_sam_se.restype = ctypes.c_int64
+    lib.finalize_pe_batch.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -229,28 +230,41 @@ def finalize_se_rows(opt, idx, rows, proc_reads, frac_rep, read_ids,
             md_arena=md_arena, md_off=rec_md_off, md_len=rec_md_len,
             xa_arena=xa_arena, xa_off=rec_xa_off, xa_len=rec_xa_len)
 
-    # Bulk-convert once (tolist is a C loop; per-element np scalar
-    # access costs more than the native call itself at batch scale).
-    with PROFILER.phase("native_conv"):
-        md_bytes = md_arena.tobytes()
-        xa_bytes = xa_arena.tobytes()
-        meta = np.stack([rec_read[:n_rec], rec_rid[:n_rec],
-                         rec_flag[:n_rec], rec_mapq[:n_rec],
-                         rec_score[:n_rec], rec_sub[:n_rec],
-                         rec_nm[:n_rec], rec_alt_sc[:n_rec],
-                         rec_ncig[:n_rec]], axis=1).tolist()
-        pos_l = rec_pos[:n_rec].tolist()
-        isrev_l = rec_is_rev[:n_rec].tolist()
-        isalt_l = rec_is_alt[:n_rec].tolist()
-        mdo = rec_md_off[:n_rec].tolist()
-        mdl = rec_md_len[:n_rec].tolist()
-        xao = rec_xa_off[:n_rec].tolist()
-        xal = rec_xa_len[:n_rec].tolist()
-        # slice to the widest actual CIGAR before tolist — converting the
-        # full [n_rec, 256] arena is ~1M Python ints per batch
-        w_cig = int(rec_ncig[:n_rec].max()) if n_rec else 1
-        cig_l = cig_out[:n_rec, :max(w_cig, 1)].tolist()
+    return records_from_raw(dict(
+        n_rec=n_rec, read=rec_read, rid=rec_rid, pos=rec_pos,
+        flag=rec_flag, mapq=rec_mapq, score=rec_score,
+        sub=rec_sub, nm=rec_nm, alt_sc=rec_alt_sc,
+        is_rev=rec_is_rev, is_alt=rec_is_alt, ncig=rec_ncig,
+        cig=cig_out, cig_stride=CIG_STRIDE, md_arena=md_arena,
+        md_off=rec_md_off, md_len=rec_md_len,
+        xa_arena=xa_arena, xa_off=rec_xa_off,
+        xa_len=rec_xa_len))
 
+
+def records_from_raw(raw):
+    """Bulk-convert a raw record-array dict into {read_idx: [Aln]}
+    (tolist is a C loop; per-element np scalar access costs more than
+    the native call itself at batch scale)."""
+    from ..ref.finalize import Aln
+    from ..utils.profiling import PROFILER
+    n_rec = raw["n_rec"]
+    with PROFILER.phase("native_conv"):
+        md_bytes = raw["md_arena"].tobytes()
+        xa_bytes = raw["xa_arena"].tobytes()
+        meta = np.stack([raw["read"][:n_rec], raw["rid"][:n_rec],
+                         raw["flag"][:n_rec], raw["mapq"][:n_rec],
+                         raw["score"][:n_rec], raw["sub"][:n_rec],
+                         raw["nm"][:n_rec], raw["alt_sc"][:n_rec],
+                         raw["ncig"][:n_rec]], axis=1).tolist()
+        pos_l = raw["pos"][:n_rec].tolist()
+        isrev_l = raw["is_rev"][:n_rec].tolist()
+        isalt_l = raw["is_alt"][:n_rec].tolist()
+        mdo = raw["md_off"][:n_rec].tolist()
+        mdl = raw["md_len"][:n_rec].tolist()
+        xao = raw["xa_off"][:n_rec].tolist()
+        xal = raw["xa_len"][:n_rec].tolist()
+        w_cig = int(raw["ncig"][:n_rec].max()) if n_rec else 1
+        cig_l = raw["cig"][:n_rec, :max(w_cig, 1)].tolist()
         out = {}
         for j in range(n_rec):
             (rd, rid, flag, mapq, score, sub, nm, alt_sc, ncig) = meta[j]
@@ -267,7 +281,8 @@ def finalize_se_rows(opt, idx, rows, proc_reads, frac_rep, read_ids,
             a.is_alt = bool(isalt_l[j])
             if rid >= 0:
                 row = cig_l[j]
-                a.cigar = [(row[k] >> 4, row[k] & 0xF) for k in range(ncig)]
+                a.cigar = [(row[k] >> 4, row[k] & 0xF)
+                           for k in range(ncig)]
                 a.MD = md_bytes[mdo[j]: mdo[j] + mdl[j]].decode()
             a.XA = (xa_bytes[xao[j]: xao[j] + xal[j]].decode()
                     if xal[j] else None)
@@ -322,7 +337,7 @@ def perfect_raw(read_idx, rid, pos, is_rev, is_alt, l_seq: int,
 
 
 def compose_sam_raw(raw, opt, bns, codes, lens, names, quals=None,
-                    rg_id=None):
+                    rg_id=None, mate=None):
     """Compose SAM lines for every read present in `raw` (a raw dict
     from finalize_se_rows(want='raw') or perfect_raw). Returns
     {read_idx: bytes} — each value is ALL of that read's lines
@@ -375,6 +390,14 @@ def compose_sam_raw(raw, opt, bns, codes, lens, names, quals=None,
             ctypes.c_char_p(cnames), c(name_off, ctypes.c_int64),
             ctypes.c_int32(opt.flag),
             ctypes.c_char_p(rg_id.encode() if rg_id else None),
+            (c(mate["rid"], ctypes.c_int32) if mate
+             else ctypes.POINTER(ctypes.c_int32)()),
+            (c(mate["pos"], ctypes.c_int64) if mate
+             else ctypes.POINTER(ctypes.c_int64)()),
+            (c(mate["is_rev"], ctypes.c_uint8) if mate
+             else ctypes.POINTER(ctypes.c_uint8)()),
+            (c(mate["rlen"], ctypes.c_int32) if mate
+             else ctypes.POINTER(ctypes.c_int32)()),
             arena.ctypes.data_as(ctypes.c_char_p),
             ctypes.c_int64(cap),
             c(read_off, ctypes.c_int64), c(read_len, ctypes.c_int32))
@@ -392,3 +415,184 @@ def compose_sam_raw(raw, opt, bns, codes, lens, names, quals=None,
                           + int(read_len[i])]
             seen = i
     return out
+
+
+# ---- native paired-end pipeline (finalize_pe_batch) -----------------
+
+def finalize_pe_rows(opt, idx, rows, n_pairs, frac_rep, read_ids,
+                     skip_dedup, codes, lens, pes_in=None,
+                     want: str = "aln"):
+    """Native PE post-processing: raw (pre-dedup) region rows for
+    2*n_pairs reads -> per-read [Aln] records + mate records + pes.
+    Returns (records_by_read, mates list[Aln], pes_out ndarray) or
+    None if the native path declined (capacity)."""
+    from ..ref.finalize import Aln
+    lib = _load()
+    bns = idx.bns
+    ref = idx.ref_string
+    if not isinstance(ref, np.ndarray) or ref.dtype != np.uint8:
+        ref = np.asarray(ref, dtype=np.uint8)
+    ann_off, ann_len, ann_alt, names, name_off = _bns_arrays(bns)
+
+    n_rows = len(rows["read"])
+    n_reads = 2 * n_pairs
+    codes = np.ascontiguousarray(codes, dtype=np.int32)
+    lens = np.ascontiguousarray(lens, dtype=np.int32)
+    frac_rep = np.ascontiguousarray(frac_rep, dtype=np.float32)
+    read_ids = np.ascontiguousarray(read_ids, dtype=np.int64)
+    skip_dedup = np.ascontiguousarray(skip_dedup, dtype=np.uint8)
+
+    cols = {k: np.ascontiguousarray(
+        rows[k], dtype=np.int64 if k in ("rb", "re") else np.int32)
+        for k in ("read", "rb", "re", "qb", "qe", "rid", "score",
+                  "truesc", "w", "seedcov", "seedlen0")}
+
+    rec_cap = n_rows + 4 * n_reads + 64
+    CIG_STRIDE = 256
+    rd_nrec = np.zeros(n_reads, dtype=np.int32)
+    rec_read = np.zeros(rec_cap, dtype=np.int32)
+    rec_rid = np.zeros(rec_cap, dtype=np.int32)
+    rec_pos = np.zeros(rec_cap, dtype=np.int64)
+    rec_flag = np.zeros(rec_cap, dtype=np.int32)
+    rec_mapq = np.zeros(rec_cap, dtype=np.int32)
+    rec_score = np.zeros(rec_cap, dtype=np.int32)
+    rec_sub = np.zeros(rec_cap, dtype=np.int32)
+    rec_nm = np.zeros(rec_cap, dtype=np.int32)
+    rec_alt_sc = np.zeros(rec_cap, dtype=np.int32)
+    rec_is_rev = np.zeros(rec_cap, dtype=np.uint8)
+    rec_is_alt = np.zeros(rec_cap, dtype=np.uint8)
+    rec_ncig = np.zeros(rec_cap, dtype=np.int32)
+    cig_out = np.zeros((rec_cap, CIG_STRIDE), dtype=np.uint32)
+    md_cap = max(1 << 16, (n_rows + n_reads) * 512)
+    xa_cap = max(1 << 16, (n_rows + n_reads) * 256)
+    md_arena = np.zeros(md_cap, dtype=np.uint8)
+    xa_arena = np.zeros(xa_cap, dtype=np.uint8)
+    rec_md_off = np.zeros(rec_cap, dtype=np.int64)
+    rec_md_len = np.zeros(rec_cap, dtype=np.int32)
+    rec_xa_off = np.zeros(rec_cap, dtype=np.int64)
+    rec_xa_len = np.zeros(rec_cap, dtype=np.int32)
+    mate_rid = np.zeros(n_reads, dtype=np.int32)
+    mate_pos = np.zeros(n_reads, dtype=np.int64)
+    mate_is_rev = np.zeros(n_reads, dtype=np.uint8)
+    mate_rlen = np.zeros(n_reads, dtype=np.int32)
+
+    pes_io = np.zeros(20, dtype=np.float64)
+    use_in = 0
+    if pes_in is not None:
+        for d, r in enumerate(pes_in):
+            pes_io[d * 5: d * 5 + 5] = (r.low, r.high, r.avg, r.std,
+                                        1.0 if r.failed else 0.0)
+        use_in = 1
+
+    mat = np.ascontiguousarray(opt.mat, dtype=np.int8)
+    from ..utils.profiling import PROFILER
+    with PROFILER.phase("native_pe_c"):
+        rc = lib.finalize_pe_batch(
+            ctypes.c_int64(n_rows),
+            _ptr(cols["read"], ctypes.c_int32),
+            _ptr(cols["rb"], ctypes.c_int64),
+            _ptr(cols["re"], ctypes.c_int64),
+            _ptr(cols["qb"], ctypes.c_int32),
+            _ptr(cols["qe"], ctypes.c_int32),
+            _ptr(cols["rid"], ctypes.c_int32),
+            _ptr(cols["score"], ctypes.c_int32),
+            _ptr(cols["truesc"], ctypes.c_int32),
+            _ptr(cols["w"], ctypes.c_int32),
+            _ptr(cols["seedcov"], ctypes.c_int32),
+            _ptr(cols["seedlen0"], ctypes.c_int32),
+            ctypes.c_int64(n_pairs),
+            _ptr(frac_rep, ctypes.c_float),
+            _ptr(read_ids, ctypes.c_int64),
+            _ptr(skip_dedup, ctypes.c_uint8),
+            _ptr(codes, ctypes.c_int32),
+            ctypes.c_int64(codes.shape[1]),
+            _ptr(lens, ctypes.c_int32),
+            _ptr(ref, ctypes.c_uint8),
+            ctypes.c_int64(bns.l_pac),
+            ctypes.c_int64(len(bns.anns)),
+            _ptr(ann_off, ctypes.c_int64),
+            _ptr(ann_len, ctypes.c_int64),
+            _ptr(ann_alt, ctypes.c_uint8),
+            ctypes.c_char_p(names),
+            _ptr(name_off, ctypes.c_int64),
+            _ptr(mat, ctypes.c_int8),
+            ctypes.c_int32(opt.a), ctypes.c_int32(opt.b),
+            ctypes.c_int32(opt.o_del), ctypes.c_int32(opt.e_del),
+            ctypes.c_int32(opt.o_ins), ctypes.c_int32(opt.e_ins),
+            ctypes.c_int32(opt.w), ctypes.c_int32(opt.T),
+            ctypes.c_int32(opt.min_seed_len),
+            ctypes.c_int32(opt.max_chain_gap),
+            ctypes.c_double(opt.mask_level),
+            ctypes.c_double(opt.drop_ratio),
+            ctypes.c_double(opt.XA_drop_ratio),
+            ctypes.c_double(opt.mask_level_redun),
+            ctypes.c_int32(opt.max_XA_hits),
+            ctypes.c_int32(opt.max_XA_hits_alt),
+            ctypes.c_int32(opt.mapQ_coef_len),
+            ctypes.c_double(opt.mapQ_coef_fac),
+            ctypes.c_int32(opt.flag),
+            ctypes.c_int32(opt.max_ins),
+            ctypes.c_int32(opt.pen_unpaired),
+            ctypes.c_int32(opt.max_matesw),
+            _ptr(pes_io, ctypes.c_double),
+            ctypes.c_int32(use_in),
+            _ptr(rd_nrec, ctypes.c_int32),
+            ctypes.c_int64(rec_cap),
+            _ptr(rec_read, ctypes.c_int32),
+            _ptr(rec_rid, ctypes.c_int32),
+            _ptr(rec_pos, ctypes.c_int64),
+            _ptr(rec_flag, ctypes.c_int32),
+            _ptr(rec_mapq, ctypes.c_int32),
+            _ptr(rec_score, ctypes.c_int32),
+            _ptr(rec_sub, ctypes.c_int32),
+            _ptr(rec_nm, ctypes.c_int32),
+            _ptr(rec_alt_sc, ctypes.c_int32),
+            _ptr(rec_is_rev, ctypes.c_uint8),
+            _ptr(rec_is_alt, ctypes.c_uint8),
+            _ptr(rec_ncig, ctypes.c_int32),
+            _ptr(cig_out.reshape(-1), ctypes.c_uint32),
+            ctypes.c_int32(CIG_STRIDE),
+            md_arena.ctypes.data_as(ctypes.c_char_p),
+            ctypes.c_int64(md_cap),
+            _ptr(rec_md_off, ctypes.c_int64),
+            _ptr(rec_md_len, ctypes.c_int32),
+            xa_arena.ctypes.data_as(ctypes.c_char_p),
+            ctypes.c_int64(xa_cap),
+            _ptr(rec_xa_off, ctypes.c_int64),
+            _ptr(rec_xa_len, ctypes.c_int32),
+            _ptr(mate_rid, ctypes.c_int32),
+            _ptr(mate_pos, ctypes.c_int64),
+            _ptr(mate_is_rev, ctypes.c_uint8),
+            _ptr(mate_rlen, ctypes.c_int32),
+        )
+    if rc == -1:
+        return None
+    if rc == -2:
+        raise RuntimeError("native PE: rid consistency failure")
+    n_rec = int(rc)
+    raw = dict(
+        n_rec=n_rec, read=rec_read, rid=rec_rid, pos=rec_pos,
+        flag=rec_flag, mapq=rec_mapq, score=rec_score, sub=rec_sub,
+        nm=rec_nm, alt_sc=rec_alt_sc, is_rev=rec_is_rev,
+        is_alt=rec_is_alt, ncig=rec_ncig, cig=cig_out,
+        cig_stride=CIG_STRIDE, md_arena=md_arena, md_off=rec_md_off,
+        md_len=rec_md_len, xa_arena=xa_arena, xa_off=rec_xa_off,
+        xa_len=rec_xa_len)
+    if want == "raw":
+        return raw, dict(rid=mate_rid, pos=mate_pos,
+                         is_rev=mate_is_rev, rlen=mate_rlen), pes_io
+    recs = records_from_raw(raw)
+    mrid_l = mate_rid.tolist()
+    mpos_l = mate_pos.tolist()
+    mrev_l = mate_is_rev.tolist()
+    mrlen_l = mate_rlen.tolist()
+    mates = []
+    for i in range(n_reads):
+        m = Aln()
+        m.rid = mrid_l[i]
+        m.pos = mpos_l[i]
+        m.is_rev = bool(mrev_l[i])
+        m.flag = 0 if m.rid >= 0 else 0x4
+        m.cigar = [(mrlen_l[i], 0)] if mrlen_l[i] > 0 else None
+        mates.append(m)
+    return recs, mates, pes_io

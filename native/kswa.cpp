@@ -13,74 +13,12 @@
 #include <cstring>
 #include <vector>
 
-namespace {
+#include "kswa_core.h"
 
-constexpr int64_t NEG = -((int64_t)1 << 60);
+using kswa_core::forward_scan;
+using kswa_core::argmax_first;
+using kswa_core::ksw_align_one;
 
-// Forward local scan. Fills H_best (row at the best target column)
-// and colmax (per-target-column maxima). Returns (gmax, te).
-// Matches ref/ksw_align._forward_scan: H_best/argmax ties keep the
-// FIRST index; early stop when the running best reaches stop_at.
-void forward_scan(int qlen, const uint8_t* q, int tlen,
-                  const uint8_t* t, const int8_t* mat, int o_del,
-                  int e_del, int o_ins, int e_ins, int64_t stop_at,
-                  int64_t* gmax_out, int* te_out,
-                  std::vector<int64_t>& H_best,
-                  std::vector<int64_t>& colmax,
-                  std::vector<int64_t>& Hrow,
-                  std::vector<int64_t>& Erow) {
-    Hrow.assign(qlen, 0);       // H_prev
-    Erow.assign(qlen, 0);
-    H_best.assign(qlen, 0);
-    colmax.assign(tlen, 0);
-    int64_t gmax = 0;
-    int te = -1;
-    const int oe_ins = o_ins + e_ins, oe_del = o_del + e_del;
-    std::vector<int64_t> Hp(qlen), Hn(qlen);
-    for (int i = 0; i < tlen; ++i) {
-        const int8_t* sc = mat + 5 * t[i];
-        // Hp_j = max(diag + S, E_j, 0)
-        int64_t diag_prev = 0;  // H_prev[j-1], starts at 0 for j=0
-        for (int j = 0; j < qlen; ++j) {
-            int64_t m = diag_prev + sc[q[j]];
-            diag_prev = Hrow[j];
-            int64_t hp = std::max({m, Erow[j], (int64_t)0});
-            Hp[j] = hp;
-        }
-        // F left-to-right from Hp (no F-origin chaining), then final H
-        int64_t f = NEG;
-        int64_t cm = 0;
-        for (int j = 0; j < qlen; ++j) {
-            int64_t h = std::max({Hp[j], f, (int64_t)0});
-            Hn[j] = h;
-            cm = std::max(cm, h);
-            // E for the next row (uses the final H)
-            Erow[j] = std::max({h - oe_del, Erow[j] - e_del,
-                                (int64_t)0});
-            // F for the next column opens from Hp[j]
-            f = std::max(f - e_ins, Hp[j] - oe_ins);
-        }
-        colmax[i] = cm;
-        std::swap(Hrow, Hn);
-        if (cm > gmax) {
-            gmax = cm;
-            te = i;
-            std::copy(Hrow.begin(), Hrow.end(), H_best.begin());
-            if (gmax >= stop_at) break;
-        }
-    }
-    *gmax_out = gmax;
-    *te_out = te;
-}
-
-int argmax_first(const std::vector<int64_t>& v) {
-    int best = 0;
-    for (size_t i = 1; i < v.size(); ++i)
-        if (v[i] > v[best]) best = (int)i;
-    return best;
-}
-
-}  // namespace
 
 extern "C" {
 

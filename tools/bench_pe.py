@@ -58,26 +58,44 @@ def main():
     n_mapped = sum(1 for r in recs if r and r[0].rid >= 0)
     print(f"* warmup mapped {n_mapped}/{BATCH}", file=sys.stderr)
 
+    # finished SAM text per read (native compose, mate columns +
+    # TLEN) — the production deliverable, like bench.py's SE stream
+    from bwa_mem_scale_tpu.pipeline import native_finalize
+    SAM = native_finalize.available()
+
+    def ctx(first_id):
+        if not SAM:
+            return None
+        return dict(names=[b"p%d" % (first_id + k)
+                           for k in range(BATCH)],
+                    quals=None, rg_id=None)
+
     PROFILER.totals.clear()
     PROFILER.counts.clear()
     t0 = time.time()
     pending = None
     done = 0
+    sam_bytes = 0
     for i, (codes, lens) in enumerate(batches):
         if pending is not None:
             fetched = al.fetch_pairs(pending)
         ph = al.dispatch_pairs(codes, lens)
         if pending is not None:
-            r, m = al.pe_post(fetched, 0)
+            r, m = al.pe_post(fetched, 0, sam_ctx=ctx(done))
             done += len(r)
+            if SAM:
+                sam_bytes += sum(len(x) for x in r)
         pending = ph
-    r, m = al.pe_post(al.fetch_pairs(pending), 0)
+    r, m = al.pe_post(al.fetch_pairs(pending), 0, sam_ctx=ctx(done))
     done += len(r)
+    if SAM:
+        sam_bytes += sum(len(x) for x in r)
     dt = time.time() - t0
     assert done == N_BATCHES * BATCH
     rps = done / dt
-    print(f"* PE end-to-end: {rps:,.0f} reads/s ({dt:.2f}s for {done})",
-          file=sys.stderr)
+    print(f"* PE end-to-end: {rps:,.0f} reads/s ({dt:.2f}s for {done}"
+          + (f", {sam_bytes / 1e6:.1f} MB SAM text" if SAM else "")
+          + ")", file=sys.stderr)
     if os.environ.get("BENCH_PROFILE"):
         PROFILER.report()
     import json
