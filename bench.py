@@ -31,6 +31,11 @@ from bwa_mem_scale_tpu.utils.compile_cache import enable_compile_cache
 enable_compile_cache()
 
 BWAMEM2_40CORE_EST = 330_000.0
+# hg38 denominator: measured single-core bwa-mem2 on THIS box
+# (tools/bench_bwamem2.sh, round 5) x 40 cores (bwa-mem2 scales
+# near-linearly to 40T per its paper); see ROUND5.md for the run.
+BWAMEM2_40CORE_HG38_EST = float(os.environ.get(
+    "BENCH_BWAMEM2_HG38", 40 * 1650.0))
 
 GENOME_BP = int(os.environ.get("BENCH_GENOME_BP", 4_600_000))
 READ_LEN = int(os.environ.get("BENCH_READ_LEN", 101))
@@ -428,7 +433,7 @@ def main():
         extra["overflow_retried"] = n_retry
         extra["overflow_oracle"] = getattr(aligner, "overflow_oracle",
                                            0)
-    print(json.dumps({
+    payload = {
         "metric": metric,
         "value": round(rps, 1),
         "unit": "reads/s",
@@ -436,7 +441,18 @@ def main():
         **roofline,
         **extra,
         **_genome_scale_extras(),
-    }))
+    }
+    # BASELINE.json's metric genome is hg38: when the hg38 sub-bench
+    # ran, IT is the headline value; the E. coli number stays as a
+    # sub-field (VERDICT r4 item 2).
+    hk = "hg38s_151bp_reads_per_sec"
+    if payload.get(hk):
+        payload["ecoli101_reads_per_sec"] = payload["value"]
+        payload["metric"] = "se_reads_per_sec_chip_hg38s_151bp"
+        payload["value"] = payload.pop(hk)
+        payload["vs_baseline"] = round(
+            payload["value"] / BWAMEM2_40CORE_HG38_EST, 4)
+    print(json.dumps(payload))
 
 
 def _genome_scale_extras():
