@@ -30,10 +30,16 @@ import numpy as np
 from bwa_mem_scale_tpu.utils.compile_cache import enable_compile_cache
 enable_compile_cache()
 
-BWAMEM2_40CORE_EST = 330_000.0
-# hg38 denominator: measured single-core bwa-mem2 on THIS box
-# (tools/bench_bwamem2.sh, round 5) x 40 cores (bwa-mem2 scales
-# near-linearly to 40T per its paper); see ROUND5.md for the run.
+# MEASURED on this box (tools/bench_bwamem2.sh, round 5): bwa-mem2
+# -t1 on the identical E. coli genome + reads = 21,538 reads/s
+# single-core x 40 cores (near-linear scaling for a cache-resident
+# index per the bwa-mem2 paper). Replaces the round-1 330k estimate,
+# which was 2.6x too LOW.
+BWAMEM2_40CORE_EST = float(os.environ.get(
+    "BENCH_BWAMEM2_ECOLI40", 40 * 21_538.0))
+# hg38 denominator: measured single-core bwa-mem2 on THIS box x 40
+# (see ROUND5.md for the run; updated there when the hg38/chr21
+# measurement lands).
 BWAMEM2_40CORE_HG38_EST = float(os.environ.get(
     "BENCH_BWAMEM2_HG38", 40 * 1650.0))
 

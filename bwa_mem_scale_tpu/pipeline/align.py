@@ -1116,12 +1116,21 @@ class TpuAligner:
             for i in proc.tolist():
                 out_lines[i] = sam_by_read.get(i, b"")
             if overflow.any():
-                by_idx = self._python_finalize_records(
-                    codes, lens, overflow, rids_arr)
-                for i, recs in by_idx.items():
-                    out_lines[i] = compose_sam_python(
-                        opt, bns, codes[i, : lens[i]], recs,
-                        sam_ctx, i)
+                if sam_ctx.get("defer_overflow"):
+                    # leave the overflow reads' slots None — the
+                    # stream collects them into a retry backlog and
+                    # runs the tier ladder on full amortized batches
+                    # instead of serializing small retry programs
+                    # into every batch cycle (the hg38 e2e tax,
+                    # VERDICT r4 item 7)
+                    pass
+                else:
+                    by_idx = self._python_finalize_records(
+                        codes, lens, overflow, rids_arr)
+                    for i, recs in by_idx.items():
+                        out_lines[i] = compose_sam_python(
+                            opt, bns, codes[i, : lens[i]], recs,
+                            sam_ctx, i)
             for i, recs in pm_records.items():
                 out_lines[i] = compose_sam_python(
                     opt, bns, codes[i, : lens[i]], recs, sam_ctx, i)
@@ -1139,18 +1148,25 @@ class TpuAligner:
                                  rids_arr):
         """Overflow reads' records via the Python retry + finalize
         machinery. Returns {batch_idx: [Aln, ...]}."""
-        from .finalize import BatchFinalizer
         from ..utils.profiling import PROFILER
-        opt = self.opt
-        bns = self.idx.bns
-        ref = self.idx.ref_string
         B = codes.shape[0]
         with PROFILER.phase("overflow_retry"):
             all_regs = [[] for _ in range(B)]
             all_regs = self._apply_overflow_retry(
                 all_regs, overflow, codes, lens)
+        return self._records_from_regs(codes, lens, overflow,
+                                       all_regs, rids_arr)
+
+    def _records_from_regs(self, codes, lens, which, all_regs,
+                           rids_arr):
+        """Dedup/primary/records for the reads marked in `which`
+        given raw region lists. Returns {batch_idx: [Aln, ...]}."""
+        from .finalize import BatchFinalizer
+        opt = self.opt
+        bns = self.idx.bns
+        ref = self.idx.ref_string
         fin = BatchFinalizer(opt, self.idx)
-        ov = np.flatnonzero(overflow)
+        ov = np.flatnonzero(which)
         queries, finalized = [], []
         for i in ov.tolist():
             query = codes[i, : lens[i]].astype(np.uint8)

@@ -48,6 +48,17 @@ class SeStream:
         self.rg_id = rg_id
         self.backlog_names: List[bytes] = []
         self.backlog_quals: List[bytes] = []
+        # overflow-retry backlog (sam mode): reads whose fixed-shape
+        # device results were truncated accumulate here and run the
+        # tier ladder as amortized full batches instead of per-batch
+        # serialized retry programs (the hg38 e2e tax, VERDICT r4
+        # item 7)
+        self.rb_codes: List[np.ndarray] = []
+        self.rb_lens: List[int] = []
+        self.rb_ids: List[int] = []
+        self.rb_names: List[bytes] = []
+        self.rb_quals: List[bytes] = []
+        self.retry_batch = max(256, batch_reads // 8)
         # 3-stage pipeline: extend in flight -> cigar DP in flight
         self.pending: deque = deque()    # (ids, extend handle)
         self.pending2: deque = deque()   # (ids, finalize stage)
@@ -189,7 +200,7 @@ class SeStream:
             sam_ctx = dict(
                 names=self.backlog_names[:take] + [b""] * pad,
                 quals=self.backlog_quals[:take] + [b""] * pad,
-                rg_id=self.rg_id)
+                rg_id=self.rg_id, defer_overflow=True)
             del self.backlog_names[:take]
             del self.backlog_quals[:take]
         if take < self.B:   # ragged tail: pad with dead lanes
@@ -216,12 +227,18 @@ class SeStream:
             ids1, h, sc1 = self.pending.popleft()
             with PROFILER.phase("fetch_wait"):
                 h = self.al.fetch_extend(h)
-            if (h[4]["slot"]["meta"][:, 1] > 0.5).any():
+            if (not self.sam
+                    and (h[4]["slot"]["meta"][:, 1] > 0.5).any()):
+                # Aln mode still runs inline retries, which launch
+                # device programs — finalize BEFORE the next dispatch
+                # so they don't queue behind a long extend. sam mode
+                # defers retries to the backlog instead.
                 with PROFILER.phase("finalize_a"):
                     self.pending2.append(
                         (ids1,
                          self.al.finalize_stage_a(h, read_ids=ids1,
-                                                  sam_ctx=sc1)))
+                                                  sam_ctx=sc1),
+                         h[0], h[1], sc1))
             else:
                 held.append((ids1, h, sc1))
         with PROFILER.phase("dispatch_extend"):
@@ -230,7 +247,8 @@ class SeStream:
             with PROFILER.phase("finalize_a"):
                 self.pending2.append(
                     (ids1, self.al.finalize_stage_a(h, read_ids=ids1,
-                                                    sam_ctx=sc1)))
+                                                    sam_ctx=sc1),
+                     h[0], h[1], sc1))
         # pad ids for dead lanes (their empty reg lists ignore the id)
         self.pending.append((ids + [-1] * (self.B - take), handle,
                              sam_ctx))
@@ -238,12 +256,50 @@ class SeStream:
             self._complete_oldest()
 
     def _complete_oldest(self) -> None:
-        ids, stage = self.pending2.popleft()
+        ids, stage, codes1, lens1, sc1 = self.pending2.popleft()
         with PROFILER.phase("finalize_b"):
             recs = self.al.finalize_stage_b(stage)
         for j, rid in enumerate(ids):
-            if rid >= 0:
+            if rid < 0:
+                continue
+            if recs[j] is None and self.sam:
+                # deferred overflow read -> retry backlog
+                self.rb_codes.append(codes1[j])
+                self.rb_lens.append(int(lens1[j]))
+                self.rb_ids.append(rid)
+                self.rb_names.append(sc1["names"][j])
+                self.rb_quals.append(sc1["quals"][j])
+            else:
                 self.results[rid] = recs[j]
+        if len(self.rb_ids) >= self.retry_batch:
+            self._drain_retries()
+
+    def _drain_retries(self) -> None:
+        """Run the overflow tier ladder on the accumulated backlog as
+        one amortized batch and install the composed SAM bytes."""
+        if not self.rb_ids:
+            return
+        from ..io.sam import compose_sam_python
+        n = len(self.rb_ids)
+        codes = np.stack(self.rb_codes)
+        lens = np.asarray(self.rb_lens, np.int32)
+        rids = np.asarray(self.rb_ids, np.int64)
+        names = self.rb_names
+        quals = self.rb_quals
+        self.rb_codes, self.rb_lens, self.rb_ids = [], [], []
+        self.rb_names, self.rb_quals = [], []
+        al = self.al
+        with PROFILER.phase("overflow_retry"):
+            all_regs = al._apply_overflow_retry(
+                [[] for _ in range(n)], np.ones(n, bool), codes, lens)
+        by_idx = al._records_from_regs(
+            codes, lens, np.ones(n, bool), all_regs, rids)
+        ctx = dict(names=names, quals=quals, rg_id=self.rg_id)
+        with PROFILER.phase("retry_records"):
+            for i, recs in by_idx.items():
+                self.results[int(rids[i])] = compose_sam_python(
+                    al.opt, al.idx.bns, codes[i, : lens[i]], recs,
+                    ctx, i)
 
     # -- output side ---------------------------------------------------
     def ready(self) -> Iterator[Tuple[int, list]]:
@@ -256,9 +312,12 @@ class SeStream:
             self._dispatch(len(self.backlog_ids))
         while self.pending:
             ids1, h, sc1 = self.pending.popleft()
+            h = self.al.fetch_extend(h)
             with PROFILER.phase("finalize_a"):
                 self.pending2.append(
                     (ids1, self.al.finalize_stage_a(h, read_ids=ids1,
-                                                    sam_ctx=sc1)))
+                                                    sam_ctx=sc1),
+                     h[0], h[1], sc1))
         while self.pending2:
             self._complete_oldest()
+        self._drain_retries()

@@ -99,3 +99,39 @@ def test_overflow_flag_visible_in_out_dict(repeat_index):
     assert of.any()
     meta = np.asarray(out["meta"])
     np.testing.assert_array_equal(meta[:, 1] > 0.5, of)
+
+
+def test_overflow_deferred_retry_sam_stream(repeat_index):
+    """sam-mode stream defers overflow reads to the retry backlog
+    (amortized tier batches); final SAM bytes must equal a roomy
+    no-overflow run's."""
+    from bwa_mem_scale_tpu.pipeline.stream import SeStream
+    from bwa_mem_scale_tpu.pipeline import native_finalize
+    if not native_finalize.available():
+        pytest.skip("native finalize lib missing")
+    opt = MemOptions()
+    batch = _reads(repeat_index, n=16)
+    codes, lens = batch.padded_codes()
+    codes = codes.astype(np.int32)
+    names = [r.name.encode() for r in batch.reads]
+    quals = [r.qual.encode() for r in batch.reads]
+
+    def run(cfg):
+        al = TpuAligner(repeat_index, opt, cfg)
+        st = SeStream(al, 8, codes.shape[1], sam=True)
+        st.retry_batch = 4       # force multiple drains
+        st.feed(codes, lens, 0, names=names, quals=quals)
+        st.flush()
+        got = dict(st.ready())
+        assert len(got) == len(batch.reads)
+        return [got[i] for i in range(len(batch.reads))], al
+
+    got, tiny = run(PipelineConfig(
+        max_coords=16, max_chains=4, max_seeds_per_chain=4,
+        max_regs=4, max_pairs=16))
+    want, roomy = run(PipelineConfig(
+        max_coords=2048, max_chains=128, max_seeds_per_chain=64,
+        max_regs=256, max_pairs=12 * 256))
+    assert getattr(tiny, "overflow_retried", 0) > 0
+    assert getattr(roomy, "overflow_retried", 0) == 0
+    assert got == want
