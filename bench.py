@@ -150,7 +150,11 @@ def _load_host_index():
                       f"{time.time() - t0:.1f}s", file=sys.stderr)
 
         emf_path = f"{prefix}.emf{READ_LEN}.npz"
-        if os.path.exists(emf_path):
+        if os.environ.get("BENCH_NO_EMF"):
+            # accelerator A/B (VERDICT r4 item 3): default config vs
+            # the same pipeline with the EMF short-circuit disabled
+            emf = None
+        elif os.path.exists(emf_path):
             emf = load_perfect_table(emf_path)
         else:
             t0 = time.time()
@@ -507,6 +511,30 @@ def _genome_scale_extras():
             print(f"* {base} sub-bench failed: {type(e).__name__}: "
                   f"{e}", file=sys.stderr)
             out[f"{base}_{rl}bp_reads_per_sec"] = None
+    # PE sub-benches (VERDICT r4 item 5: pe_reads_per_sec fields at
+    # E. coli + chr21 scale). tools/bench_pe.py shares get_aligner's
+    # env config; same subprocess isolation + wall cap as above.
+    pe_cfgs = [("ecoli101", {}, 600)]
+    if os.path.exists(os.path.join(repo, "data/chr21s.tpuidx.npz")):
+        pe_cfgs.append(("chr21s_151bp",
+                        {"BENCH_INDEX_PREFIX": "data/chr21s",
+                         "BENCH_READ_LEN": "151"}, 600))
+    for tag, env_extra, cap_s in pe_cfgs:
+        env = dict(os.environ, BENCH_CHILD="1", BENCH_KSTEP="0",
+                   BENCH_N_BATCHES="4", **env_extra)
+        try:
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(repo, "tools", "bench_pe.py")],
+                capture_output=True, text=True, timeout=cap_s,
+                env=env, cwd=repo)
+            line = [l for l in r.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            out[f"pe_reads_per_sec_{tag}"] = json.loads(line)["value"]
+        except Exception as e:
+            print(f"* PE sub-bench {tag} failed: {type(e).__name__}: "
+                  f"{e}", file=sys.stderr)
+            out[f"pe_reads_per_sec_{tag}"] = None
     return out
 
 
